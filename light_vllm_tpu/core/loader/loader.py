@@ -1,0 +1,118 @@
+"""Model loaders: default (safetensors/bin), dummy (random), state-dict.
+
+Counterpart of the reference's loader stack (reference:
+light_vllm/core/loader/loader.py:102-624). The JAX twist: models consume a
+host-side (name, np.ndarray) stream into a numpy params pytree (doing merge /
+transpose / stacking on host), then the loader places every leaf on device
+with the sharding its ParamSpec declares — a sharded device_put, so each TP
+shard only materializes its slice.
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+
+from light_vllm_tpu.core.config import LoadConfig
+from light_vllm_tpu.layers.base import ParamSpec
+from light_vllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+def _place(params_np: Any, specs: Any, mesh) -> Any:
+    """device_put every numpy leaf with its declared sharding, casting to the
+    spec dtype. Works leaf-wise so huge models stream through host RAM."""
+
+    def one(arr, spec: ParamSpec):
+        if arr is None:
+            raise ValueError("missing parameter for spec " + repr(spec))
+        target_dtype = spec.dtype
+        arr = np.asarray(arr)
+        if tuple(arr.shape) != tuple(spec.shape):
+            # Pad (e.g. vocab padding) — only trailing growth on axis 0/1.
+            pads = [(0, s - a) for a, s in zip(arr.shape, spec.shape)]
+            if any(p[1] < 0 for p in pads):
+                raise ValueError(
+                    f"shape mismatch: got {arr.shape}, want {spec.shape}")
+            arr = np.pad(arr, pads)
+        x = jnp.asarray(arr, dtype=target_dtype)
+        if mesh is not None:
+            x = jax.device_put(x, NamedSharding(mesh, spec.pspec))
+        return x
+
+    return jax.tree.map(one, params_np, specs,
+                        is_leaf=lambda x: x is None or isinstance(
+                            x, (np.ndarray, jnp.ndarray)))
+
+
+class BaseModelLoader:
+
+    def __init__(self, load_config: LoadConfig) -> None:
+        self.load_config = load_config
+
+    def load_params(self, model, engine_config, mesh=None):
+        raise NotImplementedError
+
+
+class DefaultModelLoader(BaseModelLoader):
+    """Stream safetensors/bin shards → model.load_weights → sharded arrays
+    (reference: loader.py:141 DefaultModelLoader)."""
+
+    def load_params(self, model, engine_config, mesh=None):
+        from light_vllm_tpu.core.loader.hf_utils import (
+            pt_weights_iterator, resolve_weight_files,
+            safetensors_weights_iterator)
+
+        model_path = engine_config.model_config.model
+        files = resolve_weight_files(model_path)
+        if files[0].endswith(".safetensors"):
+            it = safetensors_weights_iterator(files)
+        else:
+            it = pt_weights_iterator(files)
+        params_np = model.load_weights(it)
+        return _place(params_np, model.specs(), mesh)
+
+
+class DummyModelLoader(BaseModelLoader):
+    """Random init at full shape — profiling and benchmarks without
+    checkpoints (reference: loader.py:294 DummyModelLoader)."""
+
+    def load_params(self, model, engine_config, mesh=None):
+        seed = getattr(engine_config.model_config, "seed", 0)
+        key = jax.random.PRNGKey(seed)
+        specs = model.specs()
+        if mesh is None:
+            return model.init_params(key)
+
+        # Initialize directly sharded: jit the init so each shard
+        # materializes only its slice.
+        from light_vllm_tpu.layers.base import specs_to_shardings
+
+        shardings = specs_to_shardings(specs, mesh)
+        init_fn = jax.jit(model.init_params,
+                          out_shardings=shardings)
+        return init_fn(key)
+
+
+class StateDictLoader(BaseModelLoader):
+    """In-memory state dict (offline tests; reference analog is the HfRunner
+    comparison path in tests)."""
+
+    def load_params(self, model, engine_config, mesh=None):
+        from light_vllm_tpu.core.loader.hf_utils import state_dict_iterator
+
+        params_np = model.load_weights(
+            state_dict_iterator(self.load_config.state_dict))
+        return _place(params_np, model.specs(), mesh)
+
+
+def get_model_loader(load_config: LoadConfig) -> BaseModelLoader:
+    fmt = load_config.load_format
+    if load_config.state_dict is not None or fmt == "hf_state_dict":
+        return StateDictLoader(load_config)
+    if fmt == "dummy":
+        return DummyModelLoader(load_config)
+    return DefaultModelLoader(load_config)

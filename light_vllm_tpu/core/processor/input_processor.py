@@ -1,0 +1,69 @@
+"""Input / request processors.
+
+InputProcessor normalizes raw user prompts into Request objects cheaply at
+add_request time; RequestProcessor does the expensive tokenization lazily at
+first scheduling (reference: light_vllm/core/processor/input_processor.py:14-127).
+"""
+
+from abc import ABC, abstractmethod
+from typing import Any, Dict, Optional, Union
+
+from light_vllm_tpu.core.schema.engine_io import (Params, PromptType, Request,
+                                                  SchedulableRequest,
+                                                  TextOnlyInputs, TextPrompt,
+                                                  TextRequest, TokensPrompt,
+                                                  ValidationError)
+
+
+def normalize_prompt(prompt: PromptType) -> TextOnlyInputs:
+    if isinstance(prompt, str):
+        return TextOnlyInputs(prompt=prompt)
+    if isinstance(prompt, TextPrompt):
+        return TextOnlyInputs(prompt=prompt.prompt)
+    if isinstance(prompt, TokensPrompt):
+        return TextOnlyInputs(prompt_token_ids=list(prompt.prompt_token_ids))
+    if isinstance(prompt, TextOnlyInputs):
+        return prompt
+    if isinstance(prompt, dict):
+        if "prompt_token_ids" in prompt:
+            return TextOnlyInputs(
+                prompt_token_ids=list(prompt["prompt_token_ids"]),
+                prompt=prompt.get("prompt"))
+        if "prompt" in prompt:
+            return TextOnlyInputs(prompt=prompt["prompt"])
+    raise ValidationError(f"unsupported prompt type: {type(prompt)!r}")
+
+
+class InputProcessor(ABC):
+    """Inputs + params → Request (cheap; runs at add_request)."""
+
+    @classmethod
+    def from_engine(cls, engine) -> "InputProcessor":
+        return cls()
+
+    @abstractmethod
+    def __call__(self, request_id: str, prompt: PromptType,
+                 params: Optional[Params], arrival_time: float) -> Request:
+        ...
+
+
+class TextInputProcessor(InputProcessor):
+
+    def __call__(self, request_id: str, prompt: PromptType,
+                 params: Optional[Params], arrival_time: float) -> TextRequest:
+        inputs = normalize_prompt(prompt)
+        return TextRequest(request_id=str(request_id), inputs=inputs,
+                           params=params, arrival_time=arrival_time)
+
+
+class RequestProcessor(ABC):
+    """Request → SchedulableRequest (tokenization; runs lazily at first
+    scheduling so the waiting queue stays cheap)."""
+
+    @classmethod
+    def from_engine(cls, engine) -> "RequestProcessor":
+        raise NotImplementedError
+
+    @abstractmethod
+    def __call__(self, request: Request) -> SchedulableRequest:
+        ...

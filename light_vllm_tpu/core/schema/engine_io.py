@@ -1,0 +1,152 @@
+"""Engine-side IO schemas.
+
+Counterpart of the reference's request/prompt dataclasses
+(reference: light_vllm/core/schema/engine_io.py:5-83). These are pure-host
+objects; nothing here touches JAX.
+"""
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Union
+
+
+class ValidationError(ValueError):
+    """Raised when user inputs fail validation."""
+
+
+@dataclass
+class Params:
+    """Base class for per-request parameter bundles (sampling, pooling...)."""
+
+
+@dataclass
+class Inputs:
+    """Base class for raw user inputs before processing."""
+
+
+@dataclass
+class TextPrompt(Inputs):
+    prompt: str
+    multi_modal_data: Optional[Dict[str, Any]] = None
+
+
+@dataclass
+class TokensPrompt(Inputs):
+    prompt_token_ids: List[int]
+    multi_modal_data: Optional[Dict[str, Any]] = None
+
+
+@dataclass
+class TextOnlyInputs(Inputs):
+    """Normalized inputs: token ids, optionally with the original text."""
+
+    prompt_token_ids: List[int] = field(default_factory=list)
+    prompt: Optional[str] = None
+
+
+PromptType = Union[str, TextPrompt, TokensPrompt, TextOnlyInputs, Dict[str, Any]]
+
+
+@dataclass
+class RequestMetrics:
+    """Per-request latency bookkeeping
+    (reference: light_vllm/decoding/schema/sequence.py:77-93)."""
+
+    arrival_time: float = 0.0
+    first_scheduled_time: Optional[float] = None
+    first_token_time: Optional[float] = None
+    time_in_queue: Optional[float] = None
+    finished_time: Optional[float] = None
+
+    def on_first_schedule(self, now: Optional[float] = None) -> None:
+        if self.first_scheduled_time is None:
+            now = time.time() if now is None else now
+            self.first_scheduled_time = now
+            self.time_in_queue = now - self.arrival_time
+
+    def on_token(self, now: Optional[float] = None) -> None:
+        if self.first_token_time is None:
+            self.first_token_time = time.time() if now is None else now
+
+
+@dataclass
+class Request:
+    """A user request after input processing, before tokenization."""
+
+    request_id: str
+    arrival_time: float = field(default_factory=time.time)
+    metrics: RequestMetrics = field(default_factory=RequestMetrics)
+
+    def __post_init__(self):
+        if self.metrics.arrival_time == 0.0:
+            self.metrics.arrival_time = self.arrival_time
+
+
+@dataclass
+class TextRequest(Request):
+    inputs: Optional[TextOnlyInputs] = None
+    params: Optional[Params] = None
+
+
+@dataclass
+class SchedulableRequest(Request):
+    """A request after request-processing (tokenized, ready to schedule)."""
+
+    def num_new_tokens(self) -> int:
+        raise NotImplementedError
+
+
+@dataclass
+class SchedulerOutput:
+    """Base class for what a scheduler hands to the model-input builder."""
+
+    def is_empty(self) -> bool:
+        raise NotImplementedError
+
+
+@dataclass
+class CompletionOutput:
+    """One generated completion of a request."""
+
+    index: int
+    text: str
+    token_ids: List[int]
+    cumulative_logprob: Optional[float] = None
+    logprobs: Optional[List[Dict[int, float]]] = None
+    finish_reason: Optional[str] = None
+    stop_reason: Optional[Union[int, str]] = None
+
+    @property
+    def finished(self) -> bool:
+        return self.finish_reason is not None
+
+
+@dataclass
+class RequestOutput:
+    """What the engine returns to the user for one request."""
+
+    request_id: str
+    finished: bool
+    prompt: Optional[str] = None
+    prompt_token_ids: Optional[List[int]] = None
+    outputs: List[CompletionOutput] = field(default_factory=list)
+    metrics: Optional[RequestMetrics] = None
+
+
+@dataclass
+class EmbeddingRequestOutput:
+    """Output of encode/retriever workflows: a dense vector (or raw states)."""
+
+    request_id: str
+    finished: bool
+    embedding: Any = None  # np.ndarray
+    prompt_token_ids: Optional[List[int]] = None
+
+
+@dataclass
+class RerankerRequestOutput:
+    """Output of the reranker workflow: a scalar relevance score."""
+
+    request_id: str
+    finished: bool
+    score: float = 0.0

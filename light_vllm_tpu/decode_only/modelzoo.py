@@ -1,0 +1,13 @@
+"""Decode-only model registry (reference: light_vllm/decode_only/modelzoo/__init__.py:5-10)."""
+
+DECODE_ONLY_MODELS = {
+    "Qwen2ForCausalLM": (
+        "light_vllm_tpu.models.qwen2:Qwen2ForCausalLM",
+        "light_vllm_tpu.decode_only.workflow:DecodeOnlyWorkflow"),
+    "LlamaForCausalLM": (
+        "light_vllm_tpu.models.llama:LlamaForCausalLM",
+        "light_vllm_tpu.decode_only.workflow:DecodeOnlyWorkflow"),
+    "MistralForCausalLM": (
+        "light_vllm_tpu.models.llama:LlamaForCausalLM",
+        "light_vllm_tpu.decode_only.workflow:DecodeOnlyWorkflow"),
+}

@@ -1,0 +1,449 @@
+"""Paged KV block management: allocators, CoW, swap, prefix caching.
+
+Counterpart of the reference's block-manager stack (reference:
+light_vllm/decoding/core/interfaces.py:10-116, block_manager_v1.py:216,
+prefix_caching_block.py:48, evictor_v1.py:53). Re-designed host-side (pure
+Python/numpy — device never sees this, it only receives block tables):
+
+  - NaiveBlockAllocator: free-list allocator.
+  - PrefixCachingBlockAllocator: content-hash chaining + refcounts + LRU
+    evictor; full blocks promote to immutable cached blocks.
+  - BlockSpaceManager: per-sequence block tables, append_slots with
+    copy-on-write for forked beams, swap in/out mappings device<->host.
+
+Block 0 of the device cache is reserved as the null/trash page (padded
+batch rows point at it), so allocators hand out ids starting at 1.
+"""
+
+import enum
+from collections import OrderedDict
+from typing import Dict, List, Optional, Set, Tuple
+
+from light_vllm_tpu.decoding.schema import Sequence, SequenceGroup, \
+    SequenceStatus
+from light_vllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+BlockId = int
+
+
+class AllocStatus(enum.Enum):
+    OK = enum.auto()
+    LATER = enum.auto()
+    NEVER = enum.auto()
+
+
+class LRUEvictor:
+    """Tracks evictable (refcount-0) cached blocks in LRU order with
+    num-hashed-tokens tiebreak (reference: evictor_v1.py:53)."""
+
+    def __init__(self) -> None:
+        self.free_table: "OrderedDict[BlockId, Tuple[int, int]]" = \
+            OrderedDict()  # block_id -> (last_accessed, num_hashed_tokens)
+
+    def __contains__(self, block_id: BlockId) -> bool:
+        return block_id in self.free_table
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.free_table)
+
+    def add(self, block_id: BlockId, last_accessed: int,
+            num_hashed_tokens: int) -> None:
+        self.free_table[block_id] = (last_accessed, num_hashed_tokens)
+
+    def remove(self, block_id: BlockId) -> None:
+        del self.free_table[block_id]
+
+    def evict(self) -> BlockId:
+        if not self.free_table:
+            raise RuntimeError("no evictable blocks")
+        # Oldest access first; among ties prefer most hashed tokens
+        # (longest chains die first, matching the reference policy).
+        best_id, best_key = None, None
+        oldest = min(v[0] for v in self.free_table.values())
+        for bid, (ts, nh) in self.free_table.items():
+            if ts != oldest:
+                continue
+            key = -nh
+            if best_key is None or key < best_key:
+                best_id, best_key = bid, key
+        del self.free_table[best_id]
+        return best_id
+
+
+class NaiveBlockAllocator:
+    """Free-list allocator (reference: UncachedBlockAllocator,
+    block_manager_v1.py:157)."""
+
+    def __init__(self, num_blocks: int, first_id: int = 1) -> None:
+        self.num_blocks = num_blocks
+        self.free_list: List[BlockId] = list(
+            range(first_id, first_id + num_blocks))
+        self.refcount: Dict[BlockId, int] = {}
+
+    def get_num_free_blocks(self) -> int:
+        return len(self.free_list)
+
+    def allocate(self, content_hash: Optional[int] = None,
+                 num_hashed_tokens: int = 0) -> BlockId:
+        if not self.free_list:
+            raise RuntimeError("out of KV blocks")
+        bid = self.free_list.pop()
+        self.refcount[bid] = 1
+        return bid
+
+    def incr(self, block_id: BlockId) -> int:
+        self.refcount[block_id] += 1
+        return self.refcount[block_id]
+
+    def free(self, block_id: BlockId) -> None:
+        rc = self.refcount[block_id] - 1
+        if rc == 0:
+            del self.refcount[block_id]
+            self.free_list.append(block_id)
+        else:
+            self.refcount[block_id] = rc
+
+    def get_refcount(self, block_id: BlockId) -> int:
+        return self.refcount.get(block_id, 0)
+
+    # prefix-caching interface stubs
+    def mark_full(self, block_id: BlockId, content_hash: int,
+                  num_hashed_tokens: int, now: int) -> BlockId:
+        return block_id
+
+    def lookup(self, content_hash: int) -> Optional[BlockId]:
+        return None
+
+    def touch(self, block_id: BlockId, now: int) -> None:
+        pass
+
+
+class PrefixCachingBlockAllocator(NaiveBlockAllocator):
+    """Content-hash chained block reuse with LRU eviction (reference:
+    prefix_caching_block.py:48-839). A full block whose content hash is known
+    becomes "cached"; a later sequence with the same prefix chain gets the
+    block for free (refcount bump). Refcount-0 cached blocks stay resident
+    and evictable until space is needed."""
+
+    def __init__(self, num_blocks: int, first_id: int = 1) -> None:
+        super().__init__(num_blocks, first_id)
+        self.cached: Dict[int, BlockId] = {}          # hash -> block
+        self.hash_of: Dict[BlockId, int] = {}
+        self.num_hashed: Dict[BlockId, int] = {}
+        self.evictor = LRUEvictor()
+        self.hits = 0
+        self.misses = 0
+
+    def get_num_free_blocks(self) -> int:
+        return len(self.free_list) + self.evictor.num_blocks
+
+    def allocate(self, content_hash: Optional[int] = None,
+                 num_hashed_tokens: int = 0) -> BlockId:
+        if self.free_list:
+            bid = self.free_list.pop()
+        elif self.evictor.num_blocks:
+            bid = self.evictor.evict()
+            old_hash = self.hash_of.pop(bid, None)
+            if old_hash is not None:
+                self.cached.pop(old_hash, None)
+            self.num_hashed.pop(bid, None)
+        else:
+            raise RuntimeError("out of KV blocks")
+        self.refcount[bid] = 1
+        return bid
+
+    def lookup(self, content_hash: int) -> Optional[BlockId]:
+        bid = self.cached.get(content_hash)
+        if bid is None:
+            self.misses += 1
+            return None
+        self.hits += 1
+        return bid
+
+    def touch(self, block_id: BlockId, now: int) -> None:
+        """Take a reference on a cached block (maybe resurrect from
+        evictor)."""
+        if block_id in self.evictor:
+            self.evictor.remove(block_id)
+            self.refcount[block_id] = 1
+        else:
+            self.incr(block_id)
+
+    def mark_full(self, block_id: BlockId, content_hash: int,
+                  num_hashed_tokens: int, now: int) -> BlockId:
+        """Promote a freshly filled block to cached status; if an identical
+        cached block already exists, dedupe onto it (reference:
+        promote_to_immutable_block:415)."""
+        existing = self.cached.get(content_hash)
+        if existing is not None and existing != block_id:
+            self.touch(existing, now)
+            self.free(block_id)
+            return existing
+        self.cached[content_hash] = block_id
+        self.hash_of[block_id] = content_hash
+        self.num_hashed[block_id] = num_hashed_tokens
+        return block_id
+
+    def free(self, block_id: BlockId) -> None:
+        rc = self.refcount[block_id] - 1
+        if rc > 0:
+            self.refcount[block_id] = rc
+            return
+        del self.refcount[block_id]
+        h = self.hash_of.get(block_id)
+        if h is not None and self.cached.get(h) == block_id:
+            # Keep content resident; evictable.
+            self.evictor.add(block_id, self._now(), self.num_hashed[block_id])
+        else:
+            self.free_list.append(block_id)
+
+    _tick = 0
+
+    def _now(self) -> int:
+        PrefixCachingBlockAllocator._tick += 1
+        return PrefixCachingBlockAllocator._tick
+
+
+class BlockTable:
+    """Per-sequence mapping logical block -> physical BlockId."""
+
+    def __init__(self) -> None:
+        self.blocks: List[BlockId] = []
+        # number of tokens of this seq known to be in cached (computed)
+        # blocks at allocation time (prefix-cache hit prefix length)
+        self.num_computed_prefix_tokens = 0
+
+    def copy(self) -> "BlockTable":
+        bt = BlockTable()
+        bt.blocks = list(self.blocks)
+        bt.num_computed_prefix_tokens = self.num_computed_prefix_tokens
+        return bt
+
+
+class BlockSpaceManager:
+    """Block tables + allocation/append/fork/swap/CoW for the decoding
+    scheduler (reference: block_manager_v1.py:216 BlockSpaceManagerV1; the
+    layered v2 collapses into this one class because the TPU design has a
+    single flat slot space per cache)."""
+
+    def __init__(self, block_size: int, num_device_blocks: int,
+                 num_cpu_blocks: int, *, enable_prefix_caching: bool = False,
+                 sliding_window: Optional[int] = None,
+                 watermark: float = 0.01) -> None:
+        self.block_size = block_size
+        # block 0 reserved as null page
+        self.num_device_blocks = num_device_blocks - 1
+        self.num_cpu_blocks = num_cpu_blocks
+        self.enable_prefix_caching = enable_prefix_caching
+        self.sliding_window = sliding_window
+        alloc_cls = PrefixCachingBlockAllocator if enable_prefix_caching \
+            else NaiveBlockAllocator
+        self.device_allocator = alloc_cls(self.num_device_blocks, first_id=1)
+        self.cpu_allocator = NaiveBlockAllocator(num_cpu_blocks, first_id=0)
+        self.block_tables: Dict[int, BlockTable] = {}  # seq_id -> table
+        self.watermark_blocks = int(watermark * self.num_device_blocks)
+        self._tick = 0
+
+    def _now(self) -> int:
+        self._tick += 1
+        return self._tick
+
+    # --- allocate (prefill admission) -------------------------------------
+    def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
+        seq = seq_group.get_seqs(SequenceStatus.WAITING)[0]
+        num_needed = seq.num_logical_blocks()
+        if self.sliding_window is not None:
+            num_needed = min(num_needed,
+                             self.sliding_window // self.block_size + 1)
+        free = self.device_allocator.get_num_free_blocks()
+        if num_needed > self.num_device_blocks:
+            return AllocStatus.NEVER
+        if free - num_needed >= self.watermark_blocks:
+            return AllocStatus.OK
+        return AllocStatus.LATER
+
+    def allocate(self, seq_group: SequenceGroup) -> None:
+        seq = seq_group.get_seqs(SequenceStatus.WAITING)[0]
+        bt = BlockTable()
+        n_blocks = seq.num_logical_blocks()
+        full_blocks = seq.get_len() // self.block_size
+        now = self._now()
+        matched_prefix = True
+        for i in range(n_blocks):
+            is_full = i < full_blocks
+            if self.enable_prefix_caching and is_full and matched_prefix:
+                h = seq.hash_of_block(i)
+                hit = self.device_allocator.lookup(h)
+                if hit is not None:
+                    self.device_allocator.touch(hit, now)
+                    bt.blocks.append(hit)
+                    bt.num_computed_prefix_tokens = \
+                        (i + 1) * self.block_size
+                    continue
+                matched_prefix = False
+                bid = self.device_allocator.allocate()
+                bid = self.device_allocator.mark_full(
+                    bid, h, seq.num_hashed_tokens_of_block(i), now)
+                bt.blocks.append(bid)
+                continue
+            bid = self.device_allocator.allocate()
+            if self.enable_prefix_caching and is_full:
+                bid = self.device_allocator.mark_full(
+                    bid, seq.hash_of_block(i),
+                    seq.num_hashed_tokens_of_block(i), now)
+            bt.blocks.append(bid)
+        # Never report the whole prompt as computed — at least the last
+        # token must be recomputed to produce logits.
+        if bt.num_computed_prefix_tokens >= seq.get_len():
+            bt.num_computed_prefix_tokens = \
+                max(0, seq.get_len() - self.block_size)
+        for s in seq_group.get_seqs(SequenceStatus.WAITING):
+            self.block_tables[s.seq_id] = bt.copy() if s is not seq else bt
+            if s is not seq:
+                for bid in bt.blocks:
+                    self.device_allocator.incr(bid)
+
+    # --- append (decode growth) -------------------------------------------
+    def can_append_slots(self, seq_group: SequenceGroup,
+                         num_lookahead_slots: int = 0) -> bool:
+        num_seqs = seq_group.num_seqs(SequenceStatus.RUNNING)
+        free = self.device_allocator.get_num_free_blocks()
+        return num_seqs <= free
+
+    def append_slots(self, seq: Sequence) -> List[Tuple[int, int]]:
+        """Ensure the table covers the sequence; returns CoW (src, dst)
+        pairs (reference: block_manager_v1.py append_slots:428)."""
+        bt = self.block_tables[seq.seq_id]
+        cows: List[Tuple[int, int]] = []
+        needed = seq.num_logical_blocks()
+        if self.sliding_window is not None:
+            window_blocks = self.sliding_window // self.block_size + 1
+            if len(bt.blocks) >= window_blocks and needed > len(bt.blocks):
+                # Rotate: reuse the block that slid out of the window
+                # (reference: block_manager_v1.py:441-445).
+                bt.blocks.append(bt.blocks[len(bt.blocks) % window_blocks])
+                return cows
+        while len(bt.blocks) < needed:
+            bt.blocks.append(self.device_allocator.allocate())
+        # CoW when the last block is shared (forked beams).
+        last = bt.blocks[-1]
+        if self.device_allocator.get_refcount(last) > 1:
+            new_block = self.device_allocator.allocate()
+            self.device_allocator.free(last)
+            bt.blocks[-1] = new_block
+            cows.append((last, new_block))
+        # Prefix caching: promote the newest *full* block.
+        if self.enable_prefix_caching:
+            full_blocks = seq.get_len() // self.block_size
+            if full_blocks >= 1 and full_blocks <= len(bt.blocks):
+                idx = full_blocks - 1
+                bid = bt.blocks[idx]
+                h = seq.hash_of_block(idx)
+                if self.device_allocator.hash_of.get(bid) != h:
+                    new_bid = self.device_allocator.mark_full(
+                        bid, h, seq.num_hashed_tokens_of_block(idx),
+                        self._now())
+                    if new_bid != bid:
+                        bt.blocks[idx] = new_bid
+        return cows
+
+    def fork(self, parent: Sequence, child: Sequence) -> None:
+        bt = self.block_tables[parent.seq_id]
+        self.block_tables[child.seq_id] = bt.copy()
+        for bid in bt.blocks:
+            self.device_allocator.incr(bid)
+
+    # --- swap -------------------------------------------------------------
+    def can_swap_in(self, seq_group: SequenceGroup) -> AllocStatus:
+        blocks: Set[BlockId] = set()
+        for seq in seq_group.get_seqs(SequenceStatus.SWAPPED):
+            blocks.update(self.block_tables[seq.seq_id].blocks)
+        needed = len(blocks) + seq_group.num_seqs(SequenceStatus.SWAPPED)
+        free = self.device_allocator.get_num_free_blocks()
+        if needed > self.num_device_blocks:
+            return AllocStatus.NEVER
+        if free - needed >= self.watermark_blocks:
+            return AllocStatus.OK
+        return AllocStatus.LATER
+
+    def swap_in(self, seq_group: SequenceGroup) -> List[Tuple[int, int]]:
+        mapping: Dict[BlockId, BlockId] = {}
+        pairs: List[Tuple[int, int]] = []
+        for seq in seq_group.get_seqs(SequenceStatus.SWAPPED):
+            bt = self.block_tables[seq.seq_id]
+            new_blocks = []
+            for cpu_bid in bt.blocks:
+                if cpu_bid in mapping:
+                    dev_bid = mapping[cpu_bid]
+                    self.device_allocator.incr(dev_bid)
+                else:
+                    dev_bid = self.device_allocator.allocate()
+                    mapping[cpu_bid] = dev_bid
+                    pairs.append((cpu_bid, dev_bid))
+                new_blocks.append(dev_bid)
+            for cpu_bid in bt.blocks:
+                self.cpu_allocator.free(cpu_bid)
+            bt.blocks = new_blocks
+        return pairs
+
+    def can_swap_out(self, seq_group: SequenceGroup) -> bool:
+        blocks: Set[BlockId] = set()
+        for seq in seq_group.get_seqs(SequenceStatus.RUNNING):
+            blocks.update(self.block_tables[seq.seq_id].blocks)
+        return len(blocks) <= self.cpu_allocator.get_num_free_blocks()
+
+    def swap_out(self, seq_group: SequenceGroup) -> List[Tuple[int, int]]:
+        mapping: Dict[BlockId, BlockId] = {}
+        pairs: List[Tuple[int, int]] = []
+        for seq in seq_group.get_seqs(SequenceStatus.RUNNING):
+            bt = self.block_tables[seq.seq_id]
+            new_blocks = []
+            for dev_bid in bt.blocks:
+                if dev_bid in mapping:
+                    cpu_bid = mapping[dev_bid]
+                    self.cpu_allocator.incr(cpu_bid)
+                else:
+                    cpu_bid = self.cpu_allocator.allocate()
+                    mapping[dev_bid] = cpu_bid
+                    pairs.append((dev_bid, cpu_bid))
+                new_blocks.append(cpu_bid)
+            for dev_bid in bt.blocks:
+                self.device_allocator.free(dev_bid)
+            bt.blocks = new_blocks
+        return pairs
+
+    # --- free -------------------------------------------------------------
+    def free(self, seq: Sequence) -> None:
+        bt = self.block_tables.pop(seq.seq_id, None)
+        if bt is None:
+            return
+        allocator = self.device_allocator \
+            if seq.status != SequenceStatus.SWAPPED else self.cpu_allocator
+        for bid in bt.blocks:
+            allocator.free(bid)
+
+    def free_seq_group(self, seq_group: SequenceGroup) -> None:
+        for seq in seq_group.get_seqs():
+            self.free(seq)
+
+    def get_block_table(self, seq: Sequence) -> List[int]:
+        return list(self.block_tables[seq.seq_id].blocks)
+
+    def get_num_computed_prefix_tokens(self, seq: Sequence) -> int:
+        return self.block_tables[seq.seq_id].num_computed_prefix_tokens
+
+    def mark_prefix_consumed(self, seq: Sequence) -> None:
+        self.block_tables[seq.seq_id].num_computed_prefix_tokens = 0
+
+    def get_num_free_device_blocks(self) -> int:
+        return self.device_allocator.get_num_free_blocks()
+
+    def get_prefix_cache_hit_rate(self) -> float:
+        a = self.device_allocator
+        if not isinstance(a, PrefixCachingBlockAllocator):
+            return 0.0
+        total = a.hits + a.misses
+        return a.hits / total if total else 0.0

@@ -1,0 +1,43 @@
+"""Centralized, lazily-read environment flags.
+
+Counterpart of the reference's env registry (reference: light_vllm/envs.py:90+),
+trimmed to the knobs that are meaningful on TPU.
+"""
+
+import os
+from typing import Any, Callable, Dict
+
+environment_variables: Dict[str, Callable[[], Any]] = {
+    # Logging
+    "LVT_LOGGING_LEVEL": lambda: os.environ.get("LVT_LOGGING_LEVEL", "INFO"),
+    # Attention backend selection ("pallas" | "reference"); auto when unset.
+    "LVT_ATTENTION_BACKEND": lambda: os.environ.get("LVT_ATTENTION_BACKEND", None),
+    # Force platform ("tpu" | "cpu"); auto-detected when unset.
+    "LVT_PLATFORM": lambda: os.environ.get("LVT_PLATFORM", None),
+    # Directory for weight download cache.
+    "LVT_CACHE_ROOT": lambda: os.path.expanduser(
+        os.environ.get("LVT_CACHE_ROOT", "~/.cache/light_vllm_tpu")),
+    # Artificial preemption fault-injection for scheduler tests
+    # (reference: light_vllm/decoding/scheduler.py:22-26).
+    "LVT_TEST_ENABLE_ARTIFICIAL_PREEMPT": lambda: bool(
+        int(os.environ.get("LVT_TEST_ENABLE_ARTIFICIAL_PREEMPT", "0"))),
+    # Trace every python function call in engine threads (debugging aid;
+    # reference: light_vllm/envs.py VLLM_TRACE_FUNCTION).
+    "LVT_TRACE_FUNCTION": lambda: bool(
+        int(os.environ.get("LVT_TRACE_FUNCTION", "0"))),
+    # Use the C++ host runtime extension when built (block allocator etc.).
+    "LVT_USE_NATIVE_RUNTIME": lambda: bool(
+        int(os.environ.get("LVT_USE_NATIVE_RUNTIME", "1"))),
+    # Token bucket padding policy: comma separated bucket sizes.
+    "LVT_TOKEN_BUCKETS": lambda: os.environ.get("LVT_TOKEN_BUCKETS", None),
+}
+
+
+def __getattr__(name: str):
+    if name in environment_variables:
+        return environment_variables[name]()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return list(environment_variables.keys())

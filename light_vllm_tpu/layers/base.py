@@ -1,0 +1,90 @@
+"""Functional layer base: parameter specs with sharding, init, and loading.
+
+This replaces the reference's torch.nn.Module layer stack (reference:
+light_vllm/backends/linear.py etc.) with a JAX-native design: a layer is a
+lightweight Python object that (a) declares its parameters as ParamSpecs —
+shape, dtype, and a jax.sharding.PartitionSpec — and (b) provides a pure
+`__call__(params, ...)`. Parameters live in plain nested dicts (pytrees), so
+the whole model step jits and shards with pjit/GSPMD without any tracing of
+module state.
+
+TP is expressed *declaratively*: a ColumnParallel weight carries
+PartitionSpec(None, "tp"); XLA's sharding propagation inserts the collectives
+the reference's FakeGroupCoordinator stubbed out (reference:
+light_vllm/distributed.py:18-56 — identity all_reduce; here they are real).
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+Params = Dict[str, Any]
+
+
+@dataclass
+class ParamSpec:
+    shape: Tuple[int, ...]
+    dtype: Any
+    pspec: P = field(default_factory=P)
+    # Optional custom initializer (key, shape, dtype) -> array.
+    init: Optional[Callable] = None
+
+
+class Layer:
+    """Base class; subclasses set self._specs: Dict[str, ParamSpec]."""
+
+    def __init__(self) -> None:
+        self._specs: Dict[str, ParamSpec] = {}
+
+    def specs(self) -> Dict[str, ParamSpec]:
+        return self._specs
+
+    def init_params(self, key: jax.Array, scale: float = 0.02) -> Params:
+        """Random ("dummy-loader") initialization for tests and profiling
+        (reference: light_vllm/core/loader/loader.py:294 DummyModelLoader)."""
+        params: Params = {}
+        keys = jax.random.split(key, max(len(self._specs), 1))
+        for (name, spec), k in zip(self._specs.items(), keys):
+            if spec.init is not None:
+                params[name] = spec.init(k, spec.shape, spec.dtype)
+            elif np.issubdtype(np.dtype(jnp.dtype(spec.dtype)), np.floating) \
+                    or jnp.dtype(spec.dtype) in (jnp.bfloat16,):
+                params[name] = (scale * jax.random.normal(
+                    k, spec.shape, jnp.float32)).astype(spec.dtype)
+            else:
+                params[name] = jnp.zeros(spec.shape, spec.dtype)
+        return params
+
+
+def tree_specs(layer_tree: Any) -> Any:
+    """Map a nested structure of Layers → nested dict of ParamSpecs."""
+    if isinstance(layer_tree, Layer):
+        return layer_tree.specs()
+    if isinstance(layer_tree, dict):
+        return {k: tree_specs(v) for k, v in layer_tree.items()}
+    if isinstance(layer_tree, (list, tuple)):
+        return [tree_specs(v) for v in layer_tree]
+    raise TypeError(type(layer_tree))
+
+
+def specs_to_shardings(specs: Any, mesh) -> Any:
+    """ParamSpec tree → NamedSharding tree for jit in_shardings."""
+    from jax.sharding import NamedSharding
+
+    def one(s: ParamSpec):
+        return NamedSharding(mesh, s.pspec)
+
+    return jax.tree.map(one, specs,
+                        is_leaf=lambda x: isinstance(x, ParamSpec))
+
+
+def specs_to_shape_dtype(specs: Any) -> Any:
+    def one(s: ParamSpec):
+        return jax.ShapeDtypeStruct(s.shape, s.dtype)
+
+    return jax.tree.map(one, specs,
+                        is_leaf=lambda x: isinstance(x, ParamSpec))

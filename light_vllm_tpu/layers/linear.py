@@ -1,0 +1,143 @@
+"""Linear layer family with declarative TP sharding and pluggable quantization.
+
+Counterpart of the reference's linear stack (reference:
+light_vllm/backends/linear.py:84-810). The Column/Row distinction survives —
+not as explicit collectives but as PartitionSpecs on the kernel:
+
+  ColumnParallelLinear  kernel [in, out]  P(None, "tp")   (output sharded)
+  RowParallelLinear     kernel [in, out]  P("tp", None)   (input sharded;
+                        XLA inserts the psum the reference faked)
+
+Kernels are stored [in_features, out_features] so the forward is
+`x @ kernel` — the layout jnp/MXU favors; HF checkpoints ([out, in]) are
+transposed at load time.
+"""
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from light_vllm_tpu.layers.base import Layer, ParamSpec, Params
+
+
+class LinearMethodBase:
+    """Pluggable weight format + matmul (reference:
+    light_vllm/backends/linear.py:84 LinearMethodBase)."""
+
+    def create_specs(self, in_features: int, out_features: int, dtype,
+                     kernel_pspec: P) -> Dict[str, ParamSpec]:
+        raise NotImplementedError
+
+    def apply(self, layer: "LinearBase", params: Params,
+              x: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+
+class UnquantizedLinearMethod(LinearMethodBase):
+
+    def create_specs(self, in_features, out_features, dtype, kernel_pspec):
+        return {"kernel": ParamSpec((in_features, out_features), dtype,
+                                    kernel_pspec)}
+
+    def apply(self, layer, params, x):
+        return jnp.dot(x, params["kernel"],
+                       preferred_element_type=x.dtype)
+
+
+class LinearBase(Layer):
+
+    def __init__(self, in_features: int, out_features: int, *,
+                 bias: bool = False, dtype=jnp.bfloat16,
+                 kernel_pspec: P = P(), bias_pspec: P = P(),
+                 quant_method: Optional[LinearMethodBase] = None) -> None:
+        super().__init__()
+        self.in_features = in_features
+        self.out_features = out_features
+        self.has_bias = bias
+        self.dtype = dtype
+        self.quant_method = quant_method or UnquantizedLinearMethod()
+        self._specs = self.quant_method.create_specs(
+            in_features, out_features, dtype, kernel_pspec)
+        if bias:
+            self._specs["bias"] = ParamSpec((out_features,), dtype, bias_pspec)
+
+    def __call__(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        y = self.quant_method.apply(self, params, x)
+        if self.has_bias:
+            y = y + params["bias"].astype(y.dtype)
+        return y
+
+
+class ReplicatedLinear(LinearBase):
+    """Weight replicated on every device (reference: linear.py:183)."""
+
+    def __init__(self, in_features, out_features, *, bias=False,
+                 dtype=jnp.bfloat16, quant_method=None):
+        super().__init__(in_features, out_features, bias=bias, dtype=dtype,
+                         kernel_pspec=P(), bias_pspec=P(),
+                         quant_method=quant_method)
+
+
+class ColumnParallelLinear(LinearBase):
+    """Output-dimension sharded over the "tp" mesh axis
+    (reference: linear.py:255)."""
+
+    def __init__(self, in_features, out_features, *, bias=False,
+                 dtype=jnp.bfloat16, quant_method=None, tp_axis="tp"):
+        super().__init__(in_features, out_features, bias=bias, dtype=dtype,
+                         kernel_pspec=P(None, tp_axis),
+                         bias_pspec=P(tp_axis),
+                         quant_method=quant_method)
+
+
+class RowParallelLinear(LinearBase):
+    """Input-dimension sharded; XLA adds the all-reduce
+    (reference: linear.py:698)."""
+
+    def __init__(self, in_features, out_features, *, bias=False,
+                 dtype=jnp.bfloat16, quant_method=None, tp_axis="tp"):
+        super().__init__(in_features, out_features, bias=bias, dtype=dtype,
+                         kernel_pspec=P(tp_axis, None),
+                         bias_pspec=P(),
+                         quant_method=quant_method)
+
+
+class MergedColumnParallelLinear(ColumnParallelLinear):
+    """Several column-parallel projections fused into one kernel (e.g.
+    gate+up; reference: linear.py:365). `output_sizes` records the split
+    points for weight loading."""
+
+    def __init__(self, in_features: int, output_sizes: Sequence[int], *,
+                 bias=False, dtype=jnp.bfloat16, quant_method=None):
+        super().__init__(in_features, int(sum(output_sizes)), bias=bias,
+                         dtype=dtype, quant_method=quant_method)
+        self.output_sizes = list(output_sizes)
+
+    def shard_offset(self, idx: int) -> int:
+        return int(sum(self.output_sizes[:idx]))
+
+
+class QKVParallelLinear(MergedColumnParallelLinear):
+    """Fused QKV projection, sharded on the head dimension
+    (reference: linear.py:505)."""
+
+    def __init__(self, hidden_size: int, head_dim: int, num_heads: int,
+                 num_kv_heads: int, *, bias=False, dtype=jnp.bfloat16,
+                 quant_method=None):
+        self.hidden_size = hidden_size
+        self.head_dim = head_dim
+        self.num_heads = num_heads
+        self.num_kv_heads = num_kv_heads
+        q = num_heads * head_dim
+        kv = num_kv_heads * head_dim
+        super().__init__(hidden_size, [q, kv, kv], bias=bias, dtype=dtype,
+                         quant_method=quant_method)
+
+    def split_qkv(self, qkv: jnp.ndarray):
+        q_size = self.num_heads * self.head_dim
+        kv_size = self.num_kv_heads * self.head_dim
+        q = qkv[..., :q_size]
+        k = qkv[..., q_size:q_size + kv_size]
+        v = qkv[..., q_size + kv_size:]
+        return q, k, v

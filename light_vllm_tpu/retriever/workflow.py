@@ -1,0 +1,17 @@
+"""Retriever (embedding) workflow (reference: light_vllm/retriever/workflow.py:5-13)."""
+
+from light_vllm_tpu.encode_only.workflow import EncodeOnlyWorkflow
+
+
+class RetrieverWorkflow(EncodeOnlyWorkflow):
+    OutputProcessor = ("light_vllm_tpu.retriever.output_processor:"
+                       "RetrieverOutputProcessor")
+
+
+class RetrieverDecodeOnlyWorkflow(EncodeOnlyWorkflow):
+    """Decoder-as-embedder: runs on the prefill-only stack with last-token
+    pooling (reference: light_vllm/retriever/modelzoo/gte_qwen/workflow.py)."""
+
+    OutputProcessor = ("light_vllm_tpu.decode_only.output_processor:"
+                       "LastHiddenStatesOutputProcessor")
+    attn_type = "DECODER"
