@@ -1,0 +1,143 @@
+"""Decoding attention backend: paged KV cache + ragged batch attention.
+
+Counterpart of the reference's flash-attn backend bundle (reference:
+light_vllm/decoding/backends/attention/backends/flash_attn.py:20-571 and
+ops/paged_attn.py): one backend object bundles the KV-cache shape contract,
+the cache-write op, and the attention computation over a ragged
+prefill+decode batch.
+
+Two impls:
+  - ReferencePagedAttnBackend: pure-jnp (CPU tests / fallback)
+  - PallasPagedAttnBackend: Pallas ragged paged-attention kernel (TPU)
+"""
+
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+from light_vllm_tpu import envs
+from light_vllm_tpu.logger import init_logger
+from light_vllm_tpu.ops.attention_ref import ragged_paged_attention_ref
+from light_vllm_tpu.ops.kv_cache import write_kv_to_pages
+from light_vllm_tpu.platforms import current_platform
+
+logger = init_logger(__name__)
+
+
+@dataclass
+class DecodeAttnMetadata:
+    """Device-side attention metadata (all jnp after to_device)."""
+
+    slot_mapping: Any       # [T] i32
+    block_tables: Any       # [S, max_pages] i32
+    seq_lens: Any           # [S] i32
+    query_start_loc: Any    # [S+1] i32
+    num_seqs: Any           # [] i32
+
+
+class PagedAttnBackend:
+    name = "reference"
+
+    def __init__(self, block_size: int, num_kv_heads: int, head_dim: int,
+                 cache_dtype=None) -> None:
+        self.block_size = block_size
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        self.cache_dtype = cache_dtype
+
+    @classmethod
+    def from_engine(cls, engine):
+        cc = engine.engine_config.cache_config
+        mc = engine.engine_config.model_config
+        return get_decode_attn_backend(
+            block_size=cc.block_size,
+            num_kv_heads=mc.get_num_kv_heads(),
+            head_dim=mc.get_head_size(),
+            cache_dtype=cc.cache_jnp_dtype)
+
+    # --- cache contract -----------------------------------------------------
+    def kv_cache_shape(self, num_blocks: int) -> Tuple[int, ...]:
+        """[kvh, num_slots, head_dim]; axis 0 shards over "tp"."""
+        return (self.num_kv_heads, num_blocks * self.block_size,
+                self.head_dim)
+
+    def new_kv_cache(self, num_blocks: int, dtype) -> Tuple[Any, Any]:
+        shape = self.kv_cache_shape(num_blocks)
+        dt = self.cache_dtype or dtype
+        return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
+
+    # --- ops ------------------------------------------------------------------
+    def write_kv(self, k_pages, v_pages, k, v, slot_mapping):
+        return write_kv_to_pages(k_pages, v_pages, k, v, slot_mapping)
+
+    def attention(self, q, k_pages, v_pages, meta: DecodeAttnMetadata, *,
+                  scale: float, sliding_window: Optional[int] = None,
+                  logits_soft_cap: Optional[float] = None):
+        """q: [T, h, d] → [T, h, d]."""
+        return ragged_paged_attention_ref(
+            q, k_pages.astype(q.dtype), v_pages.astype(q.dtype),
+            meta.block_tables, meta.seq_lens, meta.query_start_loc,
+            self.block_size, scale=scale, sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap)
+
+
+class PallasPagedAttnBackend(PagedAttnBackend):
+    name = "pallas"
+
+    def attention(self, q, k_pages, v_pages, meta: DecodeAttnMetadata, *,
+                  scale: float, sliding_window: Optional[int] = None,
+                  logits_soft_cap: Optional[float] = None):
+        from light_vllm_tpu.ops.ragged_paged_attention import \
+            ragged_paged_attention
+
+        return ragged_paged_attention(
+            q, k_pages, v_pages, meta.block_tables, meta.seq_lens,
+            meta.query_start_loc, meta.num_seqs, self.block_size,
+            scale=scale, sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap)
+
+
+def get_decode_attn_backend(**kwargs) -> PagedAttnBackend:
+    choice = envs.LVT_ATTENTION_BACKEND
+    if choice is None:
+        choice = "pallas" if current_platform().is_tpu else "reference"
+    if choice == "pallas":
+        return PallasPagedAttnBackend(**kwargs)
+    return PagedAttnBackend(**kwargs)
+
+
+class Attention:
+    """Per-layer attention module for causal LMs (reference:
+    light_vllm/backends/attention/layer.py:14). Holds no params; writes this
+    step's K/V into the paged cache then runs the backend's ragged attention.
+    """
+
+    def __init__(self, num_heads: int, head_dim: int, num_kv_heads: int,
+                 scale: float, backend: PagedAttnBackend,
+                 sliding_window: Optional[int] = None,
+                 logits_soft_cap: Optional[float] = None) -> None:
+        self.num_heads = num_heads
+        self.head_dim = head_dim
+        self.num_kv_heads = num_kv_heads
+        self.scale = scale
+        self.backend = backend
+        self.sliding_window = sliding_window
+        self.logits_soft_cap = logits_soft_cap
+
+    def __call__(self, q, k, v, kv_cache, meta: DecodeAttnMetadata):
+        """q [T, h*d], k/v [T, kvh*d]; kv_cache (k_pages, v_pages).
+        Returns (out [T, h*d], new_kv_cache)."""
+        T = q.shape[0]
+        qh = q.reshape(T, self.num_heads, self.head_dim)
+        kh = k.reshape(T, self.num_kv_heads, self.head_dim)
+        vh = v.reshape(T, self.num_kv_heads, self.head_dim)
+        k_pages, v_pages = kv_cache
+        k_pages, v_pages = self.backend.write_kv(k_pages, v_pages, kh, vh,
+                                                 meta.slot_mapping)
+        out = self.backend.attention(
+            qh, k_pages, v_pages, meta, scale=self.scale,
+            sliding_window=self.sliding_window,
+            logits_soft_cap=self.logits_soft_cap)
+        return out.reshape(T, self.num_heads * self.head_dim), \
+            (k_pages, v_pages)

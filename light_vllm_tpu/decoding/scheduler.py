@@ -1,0 +1,416 @@
+"""Continuous-batching scheduler for decoding workloads.
+
+Counterpart of the reference's DecodingScheduler (reference:
+light_vllm/decoding/scheduler.py:43-1133): WAITING/RUNNING/SWAPPED deques, a
+(token, seq) budget per step, chunked prefill, preemption by RECOMPUTE
+(single-seq groups) or SWAP (multi-seq), lazy request→SequenceGroup
+conversion, and the `busy` flag that keeps async in-flight groups from being
+rescheduled.
+
+Policies:
+  - default (prefill-priority): admit whole prompts first, then decodes
+    (reference: _schedule_default:663);
+  - chunked (decode-priority): decodes first, then swapped, then prompt
+    chunks fill the remaining token budget (reference:
+    _schedule_chunked_prefill:742).
+"""
+
+import random
+from collections import deque
+from typing import Deque, List, Optional, Set, Tuple
+
+from light_vllm_tpu import envs
+from light_vllm_tpu.core.scheduler import Scheduler
+from light_vllm_tpu.decoding.block_manager import (AllocStatus,
+                                                   BlockSpaceManager)
+from light_vllm_tpu.decoding.schema import (DecodingSchedulerOutput,
+                                            ScheduledSequenceGroup,
+                                            SequenceGroup,
+                                            SequenceGroupMetadata,
+                                            SequenceStatus)
+from light_vllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+ARTIFICIAL_PREEMPTION_PROB = 0.5
+
+
+class PreemptionMode:
+    SWAP = "swap"
+    RECOMPUTE = "recompute"
+
+
+class DecodingSchedulingBudget:
+    """Per-step token + seq budget (reference: scheduler.py:43-100)."""
+
+    def __init__(self, token_budget: int, max_num_seqs: int) -> None:
+        self.token_budget = token_budget
+        self.max_num_seqs = max_num_seqs
+        self.num_batched_tokens = 0
+        self.num_curr_seqs = 0
+
+    def can_schedule(self, *, num_new_tokens: int, num_new_seqs: int) -> bool:
+        assert num_new_tokens >= 0 and num_new_seqs >= 0
+        if num_new_tokens == 0:
+            return False
+        return (self.num_batched_tokens + num_new_tokens <= self.token_budget
+                and self.num_curr_seqs + num_new_seqs <= self.max_num_seqs)
+
+    def remaining_token_budget(self) -> int:
+        return self.token_budget - self.num_batched_tokens
+
+    def add(self, num_new_tokens: int, num_new_seqs: int) -> None:
+        self.num_batched_tokens += num_new_tokens
+        self.num_curr_seqs += num_new_seqs
+
+
+class DecodingScheduler(Scheduler):
+
+    support_scheduling = ["sync_scheduling", "async_scheduling"]
+
+    def __init__(self, scheduler_config, cache_config, request_processor
+                 ) -> None:
+        super().__init__(scheduler_config, request_processor)
+        self.cache_config = cache_config
+        self.block_manager = BlockSpaceManager(
+            block_size=cache_config.block_size,
+            num_device_blocks=cache_config.num_device_blocks,
+            num_cpu_blocks=cache_config.num_cpu_blocks or 0,
+            enable_prefix_caching=cache_config.enable_prefix_caching,
+            sliding_window=cache_config.sliding_window)
+        self.running: Deque[SequenceGroup] = deque()
+        self.swapped: Deque[SequenceGroup] = deque()
+        self.user_specified_preemption_mode = \
+            scheduler_config.preemption_mode
+        self.num_cumulative_preemption = 0
+        self.artificial_preempt = bool(
+            envs.LVT_TEST_ENABLE_ARTIFICIAL_PREEMPT)
+
+    @classmethod
+    def from_engine(cls, engine) -> "DecodingScheduler":
+        return cls(engine.engine_config.scheduler_config,
+                   engine.engine_config.cache_config,
+                   engine.request_processor)
+
+    # ------------------------------------------------------------------ api
+    def schedule(self) -> DecodingSchedulerOutput:
+        budget = DecodingSchedulingBudget(
+            self.scheduler_config.max_num_batched_tokens,
+            self.scheduler_config.max_num_seqs)
+        if self.scheduler_config.enable_chunked_prefill:
+            out = self._schedule_chunked(budget)
+        else:
+            out = self._schedule_default(budget)
+        self._build_metadata(out)
+        return out
+
+    def has_unfinished_requests(self) -> bool:
+        return bool(self.waiting or self.running or self.swapped)
+
+    def get_num_unfinished_requests(self) -> int:
+        return len(self.waiting) + len(self.running) + len(self.swapped)
+
+    # -------------------------------------------------------------- helpers
+    def _convert_waiting_head(self) -> Optional[SequenceGroup]:
+        """Lazily tokenize the head of the waiting queue
+        (reference: scheduler.py:589-592)."""
+        while self.waiting:
+            head = self.waiting[0]
+            if head.request_id in self.aborted_requests:
+                self.waiting.popleft()
+                self.requests.discard(head.request_id)
+                self.aborted_requests.discard(head.request_id)
+                continue
+            if not isinstance(head, SequenceGroup):
+                head = self.request_processor(head)
+                self.waiting[0] = head
+            return head
+        return None
+
+    def _num_new_tokens_prefill(self, seq_group: SequenceGroup,
+                                budget: DecodingSchedulingBudget,
+                                enable_chunking: bool) -> int:
+        seq = seq_group.get_seqs()[0]
+        num = seq.data.get_num_uncomputed_tokens()
+        if enable_chunking:
+            num = min(num, budget.remaining_token_budget())
+        return num
+
+    def _preemption_mode(self, seq_group: SequenceGroup) -> str:
+        if self.user_specified_preemption_mode:
+            return self.user_specified_preemption_mode
+        # Single-seq groups recompute (cheap, no KV transfer); multi-seq
+        # groups swap to preserve divergent branches
+        # (reference: scheduler.py:984 _preempt).
+        if seq_group.get_max_num_running_seqs() == 1:
+            return PreemptionMode.RECOMPUTE
+        return PreemptionMode.SWAP
+
+    def _preempt(self, seq_group: SequenceGroup,
+                 blocks_to_swap_out: List[Tuple[int, int]]) -> str:
+        mode = self._preemption_mode(seq_group)
+        self.num_cumulative_preemption += 1
+        if self.num_cumulative_preemption % 50 == 1:
+            logger.warning(
+                "preempting request %s by %s (cumulative %d) — consider "
+                "more KV pages or smaller max_num_seqs",
+                seq_group.request_id, mode, self.num_cumulative_preemption)
+        if mode == PreemptionMode.RECOMPUTE:
+            for seq in seq_group.get_seqs(SequenceStatus.RUNNING):
+                seq.status = SequenceStatus.WAITING
+                self.block_manager.free(seq)
+                seq.data.reset_state_for_recompute()
+            self.waiting.appendleft(seq_group)
+        else:
+            if not self.block_manager.can_swap_out(seq_group):
+                raise RuntimeError(
+                    "cannot swap out: host swap space exhausted; "
+                    "aborting would lose the request")
+            blocks_to_swap_out.extend(self.block_manager.swap_out(seq_group))
+            for seq in seq_group.get_seqs(SequenceStatus.RUNNING):
+                seq.status = SequenceStatus.SWAPPED
+            self.swapped.append(seq_group)
+        return mode
+
+    def _artificial_preempt_hit(self) -> bool:
+        return (self.artificial_preempt
+                and random.random() < ARTIFICIAL_PREEMPTION_PROB)
+
+    # ---------------------------------------------------- running schedule
+    def _schedule_running(self, budget: DecodingSchedulingBudget,
+                          out: DecodingSchedulerOutput,
+                          enable_chunking: bool) -> None:
+        running: Deque[SequenceGroup] = deque()
+        while self.running:
+            seq_group = self.running.popleft()
+            if seq_group.request_id in self.aborted_requests:
+                self._abort_group(seq_group)
+                continue
+            if seq_group.busy:
+                running.append(seq_group)
+                continue
+            if seq_group.is_prefill():
+                # chunked prefill continuation
+                num_new = self._num_new_tokens_prefill(
+                    seq_group, budget, enable_chunking)
+                num_seqs = seq_group.num_seqs(SequenceStatus.RUNNING)
+                if num_new == 0 or not budget.can_schedule(
+                        num_new_tokens=num_new, num_new_seqs=0):
+                    running.append(seq_group)
+                    continue
+            else:
+                num_seqs = seq_group.num_seqs(SequenceStatus.RUNNING)
+                num_new = num_seqs
+                if not budget.can_schedule(num_new_tokens=num_new,
+                                           num_new_seqs=0):
+                    running.append(seq_group)
+                    continue
+
+            # Ensure pages for the new tokens; preempt victims if needed.
+            preempted_self = False
+            can_append = (not self._artificial_preempt_hit()
+                          and self.block_manager.can_append_slots(seq_group))
+            while not can_append:
+                if self.running:
+                    victim = self.running.pop()  # lowest priority first
+                    self._preempt(victim, out.blocks_to_swap_out)
+                    out.preempted += 1
+                else:
+                    self._preempt(seq_group, out.blocks_to_swap_out)
+                    out.preempted += 1
+                    preempted_self = True
+                    break
+                can_append = self.block_manager.can_append_slots(seq_group)
+            if preempted_self:
+                continue
+
+            for seq in seq_group.get_seqs(SequenceStatus.RUNNING):
+                for cow in self.block_manager.append_slots(seq):
+                    out.blocks_to_copy.append(cow)
+            budget.add(num_new, 0)
+            out.scheduled_seq_groups.append(ScheduledSequenceGroup(
+                seq_group=seq_group, token_chunk_size=num_new))
+            if seq_group.is_prefill():
+                out.num_prefill_groups += 1
+            running.append(seq_group)
+        self.running = running
+
+    # ---------------------------------------------------- swapped schedule
+    def _schedule_swapped(self, budget: DecodingSchedulingBudget,
+                          out: DecodingSchedulerOutput) -> None:
+        swapped: Deque[SequenceGroup] = deque()
+        while self.swapped:
+            seq_group = self.swapped.popleft()
+            if seq_group.request_id in self.aborted_requests:
+                self._abort_group(seq_group)
+                continue
+            if seq_group.busy:
+                swapped.append(seq_group)
+                continue
+            alloc = self.block_manager.can_swap_in(seq_group)
+            if alloc == AllocStatus.NEVER:
+                logger.warning("request %s can never be swapped in; ignored",
+                               seq_group.request_id)
+                self._ignore_group(seq_group, out)
+                continue
+            num_seqs = seq_group.num_seqs(SequenceStatus.SWAPPED)
+            num_new = num_seqs  # decode resumption
+            if alloc == AllocStatus.LATER or not budget.can_schedule(
+                    num_new_tokens=num_new, num_new_seqs=num_seqs):
+                swapped.append(seq_group)
+                break
+            out.blocks_to_swap_in.extend(
+                self.block_manager.swap_in(seq_group))
+            for seq in seq_group.get_seqs(SequenceStatus.SWAPPED):
+                seq.status = SequenceStatus.RUNNING
+            for seq in seq_group.get_seqs(SequenceStatus.RUNNING):
+                for cow in self.block_manager.append_slots(seq):
+                    out.blocks_to_copy.append(cow)
+            budget.add(num_new, num_seqs)
+            out.scheduled_seq_groups.append(ScheduledSequenceGroup(
+                seq_group=seq_group, token_chunk_size=num_new))
+            self.running.append(seq_group)
+        # deferred (busy / over-budget) groups keep FCFS priority
+        swapped.extend(self.swapped)
+        self.swapped = swapped
+
+    # ---------------------------------------------------- prefill schedule
+    def _schedule_prefills(self, budget: DecodingSchedulingBudget,
+                           out: DecodingSchedulerOutput,
+                           enable_chunking: bool) -> None:
+        while True:
+            seq_group = self._convert_waiting_head()
+            if seq_group is None:
+                break
+            seq = seq_group.get_seqs()[0]
+            if seq.get_len() > self.scheduler_config.max_model_len:
+                logger.warning("prompt of %s longer than max_model_len; "
+                               "ignored", seq_group.request_id)
+                self.waiting.popleft()
+                self._ignore_group(seq_group, out)
+                continue
+            alloc = self.block_manager.can_allocate(seq_group)
+            if alloc == AllocStatus.NEVER:
+                logger.warning("request %s can never fit in KV cache; "
+                               "ignored", seq_group.request_id)
+                self.waiting.popleft()
+                self._ignore_group(seq_group, out)
+                continue
+            if alloc == AllocStatus.LATER:
+                break
+            num_new = self._num_new_tokens_prefill(seq_group, budget,
+                                                   enable_chunking)
+            num_seqs = seq_group.get_max_num_running_seqs()
+            if num_new == 0 or not budget.can_schedule(
+                    num_new_tokens=num_new, num_new_seqs=num_seqs):
+                break
+            self.waiting.popleft()
+            self.block_manager.allocate(seq_group)
+            # Prefix-cache hit: skip already-computed prefix tokens.
+            cached = self.block_manager.get_num_computed_prefix_tokens(seq)
+            if cached > 0 and seq.data.get_num_computed_tokens() == 0:
+                seq.data.update_num_computed_tokens(cached)
+                num_new = self._num_new_tokens_prefill(seq_group, budget,
+                                                       enable_chunking)
+            for s in seq_group.get_seqs(SequenceStatus.WAITING):
+                s.status = SequenceStatus.RUNNING
+            seq_group.metrics.on_first_schedule()
+            budget.add(num_new, num_seqs)
+            out.scheduled_seq_groups.append(ScheduledSequenceGroup(
+                seq_group=seq_group, token_chunk_size=num_new))
+            out.num_prefill_groups += 1
+            self.running.append(seq_group)
+
+    # ----------------------------------------------------------- policies
+    def _schedule_default(self, budget: DecodingSchedulingBudget
+                          ) -> DecodingSchedulerOutput:
+        out = DecodingSchedulerOutput()
+        # Prefill-priority: admit new prompts only when nothing is swapped.
+        if not self.swapped:
+            self._schedule_prefills(budget, out, enable_chunking=False)
+        if out.num_prefill_groups == 0:
+            self._schedule_running(budget, out, enable_chunking=False)
+            if out.preempted == 0:
+                self._schedule_swapped(budget, out)
+        out.num_batched_tokens = budget.num_batched_tokens
+        return out
+
+    def _schedule_chunked(self, budget: DecodingSchedulingBudget
+                          ) -> DecodingSchedulerOutput:
+        out = DecodingSchedulerOutput()
+        # Decode-priority: running first, then swapped, then prompt chunks.
+        self._schedule_running(budget, out, enable_chunking=True)
+        if out.preempted == 0:
+            self._schedule_swapped(budget, out)
+        self._schedule_prefills(budget, out, enable_chunking=True)
+        out.num_batched_tokens = budget.num_batched_tokens
+        return out
+
+    # ------------------------------------------------------------ metadata
+    def _build_metadata(self, out: DecodingSchedulerOutput) -> None:
+        now_busy = []
+        for sched in out.scheduled_seq_groups:
+            g = sched.seq_group
+            g.busy = True
+            now_busy.append(g)
+            block_tables = {}
+            seq_data = {}
+            for seq in g.get_seqs(SequenceStatus.RUNNING):
+                block_tables[seq.seq_id] = \
+                    self.block_manager.get_block_table(seq)
+                seq_data[seq.seq_id] = seq.data
+            is_prompt = g.is_prefill()
+            # Sampling happens only on the final chunk of a prompt
+            # (reference: scheduler.py:891-903).
+            do_sample = True
+            if is_prompt:
+                seq = g.get_seqs()[0]
+                remaining = seq.data.get_num_uncomputed_tokens()
+                if sched.token_chunk_size < remaining:
+                    do_sample = False
+            out.seq_group_metadata_list.append(SequenceGroupMetadata(
+                request_id=g.request_id, is_prompt=is_prompt,
+                seq_data=seq_data, sampling_params=g.sampling_params,
+                block_tables=block_tables, do_sample=do_sample,
+                token_chunk_size=sched.token_chunk_size))
+
+    # ------------------------------------------------------------- cleanup
+    def _ignore_group(self, seq_group: SequenceGroup,
+                      out: DecodingSchedulerOutput) -> None:
+        for seq in seq_group.get_seqs():
+            seq.status = SequenceStatus.FINISHED_IGNORED
+        out.ignored_seq_groups.append(seq_group)
+        self.requests.discard(seq_group.request_id)
+
+    def _abort_group(self, seq_group: SequenceGroup) -> None:
+        for seq in seq_group.get_seqs():
+            if not seq.is_finished():
+                seq.status = SequenceStatus.FINISHED_ABORTED
+            self.block_manager.free(seq)
+        self.requests.discard(seq_group.request_id)
+        self.aborted_requests.discard(seq_group.request_id)
+
+    def actual_abort(self, request_ids: Set[str]) -> None:
+        # waiting-queue aborts handled by base; running/swapped handled
+        # lazily inside schedule().
+        pass
+
+    def free_finished_request(self, scheduler_output=None) -> None:
+        """Clear busy flags, advance computed-token counts, release blocks
+        of finished groups (reference: scheduler.py:939-955)."""
+        if scheduler_output is None:
+            return
+        for sched in scheduler_output.scheduled_seq_groups:
+            g = sched.seq_group
+            g.busy = False
+            for seq in g.get_seqs():
+                if seq.is_finished():
+                    self.block_manager.free(seq)
+        still_running = deque()
+        for g in self.running:
+            if g.is_finished():
+                self.block_manager.free_seq_group(g)
+                self.requests.discard(g.request_id)
+            else:
+                still_running.append(g)
+        self.running = still_running

@@ -1,0 +1,311 @@
+"""Decoding worker + runner + cache engine.
+
+Counterpart of the reference's GPU worker stack (reference:
+light_vllm/decoding/worker/gpu_worker.py:26-255, cache_engine.py:15-104,
+runner/model_runner.py:32-187), re-designed for XLA:
+
+  - One jitted step function fuses forward + logits + sampling into a single
+    device dispatch per engine step; KV caches are donated so page writes
+    are in-place.
+  - KV sizing is analytic (HBM budget − params − activation reserve) instead
+    of the reference's profile-run: XLA's static shapes make usage
+    predictable (reference's approach at gpu_worker.py:95-144).
+  - Swap space is host numpy; swap in/out are device_get/put of page slices
+    (reference's CacheEngine swap via cache ops).
+"""
+
+import functools
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from light_vllm_tpu.core.schema.execute_io import ExecuteInput
+from light_vllm_tpu.core.worker import WorkerBase
+from light_vllm_tpu.decoding.attention import DecodeAttnMetadata
+from light_vllm_tpu.decoding.schema import (DecodingExecuteOutput,
+                                            DecodingModelInput,
+                                            DecodingWorkerInput)
+from light_vllm_tpu.logger import init_logger
+from light_vllm_tpu.ops import sampling as sampling_ops
+from light_vllm_tpu.ops.kv_cache import (copy_pages, gather_blocks,
+                                         scatter_blocks)
+from light_vllm_tpu.parallel.mesh import build_mesh
+from light_vllm_tpu.platforms import current_platform
+from light_vllm_tpu.utils import cdiv, get_dtype_size
+
+logger = init_logger(__name__)
+
+
+class CacheEngine:
+    """Allocates device KV pages + host swap pages; executes swap/copy
+    (reference: decoding/worker/cache_engine.py:15)."""
+
+    def __init__(self, backend, num_layers: int, num_device_blocks: int,
+                 num_cpu_blocks: int, dtype, mesh=None) -> None:
+        self.backend = backend
+        self.num_layers = num_layers
+        self.num_device_blocks = num_device_blocks
+        self.num_cpu_blocks = num_cpu_blocks
+        self.block_size = backend.block_size
+        self.mesh = mesh
+        cache_dtype = backend.cache_dtype or dtype
+        self.cache_dtype = cache_dtype
+
+        def alloc():
+            caches = []
+            for _ in range(num_layers):
+                caches.append(backend.new_kv_cache(num_device_blocks, dtype))
+            return caches
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P("tp", None, None))
+            alloc_jit = jax.jit(
+                lambda: [tuple(jnp.zeros(backend.kv_cache_shape(
+                    num_device_blocks), cache_dtype) for _ in range(2))
+                    for _ in range(num_layers)],
+                out_shardings=[(sharding, sharding)] * num_layers)
+            self.kv_caches = alloc_jit()
+        else:
+            self.kv_caches = alloc()
+        # Host swap pool: [layers][2] np arrays [kvh, cpu_slots, d]
+        # (ml_dtypes makes bf16/fp8 valid numpy dtypes).
+        kvh, _, d = backend.kv_cache_shape(1)
+        np_dt = jnp.dtype(cache_dtype)
+        self.cpu_cache = [
+            (np.zeros((kvh, num_cpu_blocks * self.block_size, d), np_dt),
+             np.zeros((kvh, num_cpu_blocks * self.block_size, d), np_dt))
+            for _ in range(num_layers)
+        ] if num_cpu_blocks > 0 else []
+
+        self._copy_fn = jax.jit(
+            functools.partial(copy_pages, page_size=self.block_size),
+            donate_argnums=(0, 1))
+
+    @staticmethod
+    def get_cache_block_size(block_size: int, num_layers: int,
+                             num_kv_heads: int, head_dim: int,
+                             dtype) -> int:
+        """Bytes per block across all layers (K+V)
+        (reference: cache_engine.py:87)."""
+        return 2 * num_layers * block_size * num_kv_heads * head_dim \
+            * get_dtype_size(dtype)
+
+    def copy(self, src_dst: List[Tuple[int, int]]) -> None:
+        if not src_dst:
+            return
+        src = jnp.asarray([s for s, _ in src_dst], jnp.int32)
+        dst = jnp.asarray([d for _, d in src_dst], jnp.int32)
+        self.kv_caches = [
+            tuple(self._copy_fn(k, v, src, dst))
+            for (k, v) in self.kv_caches
+        ]
+
+    def swap_out(self, pairs: List[Tuple[int, int]]) -> None:
+        """(device_block, cpu_block) pairs → host."""
+        if not pairs:
+            return
+        dev_ids = jnp.asarray([a for a, _ in pairs], jnp.int32)
+        for li, (k, v) in enumerate(self.kv_caches):
+            k_blocks = np.asarray(gather_blocks(k, dev_ids, self.block_size),
+                                  dtype=self.cpu_cache[li][0].dtype)
+            v_blocks = np.asarray(gather_blocks(v, dev_ids, self.block_size),
+                                  dtype=self.cpu_cache[li][1].dtype)
+            kc, vc = self.cpu_cache[li]
+            for j, (_, cpu_bid) in enumerate(pairs):
+                s = cpu_bid * self.block_size
+                kc[:, s:s + self.block_size] = k_blocks[:, j]
+                vc[:, s:s + self.block_size] = v_blocks[:, j]
+
+    def swap_in(self, pairs: List[Tuple[int, int]]) -> None:
+        """(cpu_block, device_block) pairs → device."""
+        if not pairs:
+            return
+        dev_ids = jnp.asarray([b for _, b in pairs], jnp.int32)
+        for li, (k, v) in enumerate(self.kv_caches):
+            kc, vc = self.cpu_cache[li]
+            kvh, _, d = kc.shape
+            kb = np.stack([kc[:, c * self.block_size:(c + 1) * self.block_size]
+                           for c, _ in pairs], axis=1)
+            vb = np.stack([vc[:, c * self.block_size:(c + 1) * self.block_size]
+                           for c, _ in pairs], axis=1)
+            k = scatter_blocks(k, jnp.asarray(kb, k.dtype), dev_ids,
+                               self.block_size)
+            v = scatter_blocks(v, jnp.asarray(vb, v.dtype), dev_ids,
+                               self.block_size)
+            self.kv_caches[li] = (k, v)
+
+
+class DecodingModelRunner:
+    """Owns params + the fused jitted step (reference: runner/model_runner.py:32)."""
+
+    def __init__(self, model, mesh=None) -> None:
+        self.model = model
+        self.mesh = mesh
+        self.params = None
+        self._step_cache: Dict[Any, Any] = {}
+
+    def prepare(self, params) -> None:
+        self.params = params
+
+    def _make_step_fn(self, use_penalties: bool, use_topkp: bool,
+                      num_logprobs: int, has_prompt_tokens: bool):
+        model = self.model
+
+        def step(params, kv_caches, input_ids, positions, slot_mapping,
+                 block_tables, seq_lens, query_start_loc, logits_indices,
+                 num_seqs, temperature, top_p, top_k, min_p, presence,
+                 frequency, repetition, output_tokens, prompt_tokens, seeds):
+            meta = DecodeAttnMetadata(
+                slot_mapping=slot_mapping, block_tables=block_tables,
+                seq_lens=seq_lens, query_start_loc=query_start_loc,
+                num_seqs=num_seqs)
+            hidden, kv_caches = model(params, input_ids, positions,
+                                      kv_caches, meta)
+            logits = model.compute_logits(params, hidden, logits_indices)
+            res = sampling_ops.sample(
+                logits, temperature, top_k, top_p, min_p, presence,
+                frequency, repetition, output_tokens, prompt_tokens, seeds,
+                use_penalties=use_penalties, use_topkp=use_topkp,
+                num_logprobs=num_logprobs)
+            return (res.next_tokens, res.chosen_logprobs, res.topk_logprobs,
+                    res.topk_ids, kv_caches)
+
+        return jax.jit(step, donate_argnums=(1,))
+
+    def execute(self, model_input: DecodingModelInput, kv_caches):
+        s = model_input.sampling
+        use_penalties = bool(
+            np.any(s.presence_penalty != 0)
+            or np.any(s.frequency_penalty != 0)
+            or np.any(s.repetition_penalty != 1.0))
+        use_topkp = bool(np.any(s.top_k > 0) or np.any(s.top_p < 1.0)
+                         or np.any(s.min_p > 0))
+        num_logprobs = 0  # per-batch logprob gather added via metadata later
+        key = (use_penalties, use_topkp, num_logprobs,
+               s.prompt_tokens is not None)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._make_step_fn(*key)
+        step_fn = self._step_cache[key]
+        (next_tokens, chosen_lp, topk_lp, topk_ids, kv_caches) = step_fn(
+            self.params, kv_caches, model_input.input_ids,
+            model_input.positions, model_input.slot_mapping,
+            model_input.block_tables, model_input.seq_lens,
+            model_input.query_start_loc, model_input.logits_indices,
+            model_input.num_seqs, s.temperature, s.top_p, s.top_k, s.min_p,
+            s.presence_penalty, s.frequency_penalty, s.repetition_penalty,
+            s.output_tokens, s.prompt_tokens, s.seeds)
+        out = DecodingExecuteOutput(
+            next_tokens=next_tokens, chosen_logprobs=chosen_lp,
+            logprobs=topk_lp, logprob_token_ids=topk_ids)
+        return out, kv_caches
+
+
+class DecodingWorker(WorkerBase):
+
+    def __init__(self, engine_config, attn_backend, model_cls) -> None:
+        self.engine_config = engine_config
+        self.attn_backend = attn_backend
+        self.model_cls = model_cls
+        self.mesh = None
+        self.runner: Optional[DecodingModelRunner] = None
+        self.cache_engine: Optional[CacheEngine] = None
+        self._param_bytes = 0
+
+    @classmethod
+    def from_engine(cls, engine) -> "DecodingWorker":
+        from light_vllm_tpu.core.registry import ModelRegistry
+        from light_vllm_tpu.core.workflow import lazy_import
+
+        model_path = ModelRegistry.get_model_path(
+            engine.engine_config.model_config.architectures)
+        model_cls = lazy_import(model_path)
+        worker = cls(engine.engine_config, engine.attn_backend, model_cls)
+        worker.init_device()
+        worker.load_model()
+        return worker
+
+    def init_device(self) -> None:
+        pc = self.engine_config.parallel_config
+        if pc.world_size > 1:
+            self.mesh = build_mesh(
+                tensor_parallel_size=pc.tensor_parallel_size,
+                data_parallel_size=pc.data_parallel_size)
+        else:
+            self.mesh = None
+
+    def load_model(self) -> None:
+        from light_vllm_tpu.core.loader.loader import get_model_loader
+        from light_vllm_tpu.layers.base import ParamSpec
+
+        t0 = time.perf_counter()
+        self.model = self.model_cls(self.engine_config.model_config,
+                                    attn_backend=self.attn_backend)
+        loader = get_model_loader(self.engine_config.load_config)
+        params = loader.load_params(self.model, self.engine_config, self.mesh)
+        leaves = jax.tree.leaves(params)
+        self._param_bytes = sum(x.size * x.dtype.itemsize for x in leaves)
+        self.runner = DecodingModelRunner(self.model, self.mesh)
+        self.runner.prepare(params)
+        logger.info("model loaded in %.1fs (%.2f GiB params)",
+                    time.perf_counter() - t0, self._param_bytes / 2**30)
+
+    # --- KV sizing (reference: determine_num_available_blocks) -------------
+    def determine_num_available_blocks(self) -> Tuple[int, int]:
+        cc = self.engine_config.cache_config
+        mc = self.engine_config.model_config
+        sc = self.engine_config.scheduler_config
+        block_bytes = CacheEngine.get_cache_block_size(
+            cc.block_size, mc.get_num_layers(), mc.get_num_kv_heads(),
+            mc.get_head_size(),
+            cc.cache_jnp_dtype or mc.dtype)
+        plat = current_platform()
+        hbm = plat.hbm_bytes()
+        if cc.num_device_blocks_override is not None:
+            num_device = cc.num_device_blocks_override
+        elif hbm is None or plat.is_cpu:
+            num_device = 1024  # test default on CPU
+        else:
+            # Activation reserve: generous upper bound for the largest token
+            # bucket — hidden activations dominate; 4 bytes/elt (f32 logits).
+            max_tokens = sc.max_num_batched_tokens
+            act_reserve = max(
+                int(1.5 * 2**30),
+                8 * max_tokens * mc.get_hidden_size() * 4)
+            tp = self.engine_config.parallel_config.tensor_parallel_size
+            budget = int(hbm * cc.hbm_utilization) \
+                - self._param_bytes // max(tp, 1) - act_reserve
+            num_device = max(budget // (block_bytes // max(tp, 1)), 16)
+        num_cpu = int(cc.swap_space_gb * 2**30 // block_bytes) \
+            if cc.swap_space_gb else 0
+        logger.info("KV cache: %d device blocks (%d tokens), %d host blocks",
+                    num_device, num_device * cc.block_size, num_cpu)
+        return int(num_device), int(num_cpu)
+
+    def initialize_cache(self, num_device_blocks: int,
+                         num_cpu_blocks: int) -> None:
+        mc = self.engine_config.model_config
+        self.cache_engine = CacheEngine(
+            self.attn_backend, mc.get_num_layers(), num_device_blocks,
+            num_cpu_blocks, mc.dtype, self.mesh)
+
+    # --- step ----------------------------------------------------------------
+    def __call__(self, execute_input: ExecuteInput) -> DecodingExecuteOutput:
+        begin = time.perf_counter()
+        wi: DecodingWorkerInput = execute_input.worker_input
+        if wi is not None:
+            if wi.blocks_to_swap_out:
+                self.cache_engine.swap_out(wi.blocks_to_swap_out)
+            if wi.blocks_to_swap_in:
+                self.cache_engine.swap_in(wi.blocks_to_swap_in)
+            if wi.blocks_to_copy:
+                self.cache_engine.copy(wi.blocks_to_copy)
+        out, self.cache_engine.kv_caches = self.runner.execute(
+            execute_input.model_input, self.cache_engine.kv_caches)
+        out.execute_begin_ts = begin
+        out.execute_end_ts = time.perf_counter()
+        return out

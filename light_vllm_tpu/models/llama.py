@@ -1,0 +1,254 @@
+"""Llama-family causal LM (Llama 2/3, Mistral) on the TPU layer stack.
+
+Counterpart of the reference's Qwen2 decode model (reference:
+light_vllm/decode_only/modelzoo/qwen2.py:80-419; Llama is the flagship for
+BASELINE.json's Llama-3-8B target). Forward operates on the flattened ragged
+batch: input_ids [T], positions [T], paged KV caches per layer, attention
+metadata. Everything is pure → jit-able with donated caches.
+
+Also exposes `encode_forward` (dense [B, L], no cache) so the same model can
+serve decoder-as-embedder workloads (reference:
+light_vllm/decode_only/output_last_hidden_states/).
+"""
+
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from light_vllm_tpu.decoding.attention import Attention, DecodeAttnMetadata
+from light_vllm_tpu.layers.activation import get_gated_act_fn
+from light_vllm_tpu.layers.base import Layer, tree_specs
+from light_vllm_tpu.layers.embedding import ParallelLMHead, \
+    VocabParallelEmbedding
+from light_vllm_tpu.layers.linear import (MergedColumnParallelLinear,
+                                          QKVParallelLinear,
+                                          RowParallelLinear)
+from light_vllm_tpu.layers.norm import RMSNorm
+from light_vllm_tpu.layers.rotary import get_rope
+from light_vllm_tpu.ops.attention_ref import dense_attention
+
+
+class LlamaDecoderLayer:
+
+    def __init__(self, cfg, dtype, attn_backend, *, qkv_bias: bool = False,
+                 max_position: int = 4096, rope_scaling=None,
+                 rope_theta: float = 10000.0) -> None:
+        H = cfg.hidden_size
+        self.num_heads = cfg.num_attention_heads
+        self.num_kv_heads = getattr(cfg, "num_key_value_heads",
+                                    None) or self.num_heads
+        self.head_dim = getattr(cfg, "head_dim", None) or H // self.num_heads
+        inter = cfg.intermediate_size
+        self.qkv = QKVParallelLinear(H, self.head_dim, self.num_heads,
+                                     self.num_kv_heads, bias=qkv_bias,
+                                     dtype=dtype)
+        self.o = RowParallelLinear(self.num_heads * self.head_dim, H,
+                                   bias=False, dtype=dtype)
+        self.gate_up = MergedColumnParallelLinear(H, [inter, inter],
+                                                  bias=False, dtype=dtype)
+        self.down = RowParallelLinear(inter, H, bias=False, dtype=dtype)
+        self.act = get_gated_act_fn(getattr(cfg, "hidden_act", "silu"))
+        eps = getattr(cfg, "rms_norm_eps", 1e-6)
+        self.input_ln = RMSNorm(H, eps=eps, dtype=dtype)
+        self.post_attn_ln = RMSNorm(H, eps=eps, dtype=dtype)
+        self.rope = get_rope(self.head_dim, self.head_dim, max_position,
+                             rope_theta, is_neox_style=True,
+                             rope_scaling=rope_scaling, dtype=dtype)
+        if attn_backend is not None:
+            self.attn = Attention(
+                self.num_heads, self.head_dim, self.num_kv_heads,
+                scale=self.head_dim ** -0.5, backend=attn_backend,
+                sliding_window=getattr(cfg, "sliding_window", None))
+        else:
+            self.attn = None
+
+    def layer_tree(self):
+        return {"qkv": self.qkv, "o": self.o, "gate_up": self.gate_up,
+                "down": self.down, "input_ln": self.input_ln,
+                "post_attn_ln": self.post_attn_ln}
+
+    def __call__(self, p, x, positions, kv_cache,
+                 meta: DecodeAttnMetadata):
+        """x [T, H] flattened ragged batch."""
+        residual = x
+        x = self.input_ln(p["input_ln"], x)
+        qkv = self.qkv(p["qkv"], x)
+        q, k, v = self.qkv.split_qkv(qkv)
+        q, k = self.rope(positions, q, k)
+        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta)
+        x = residual + self.o(p["o"], attn_out)
+        residual = x
+        x = self.post_attn_ln(p["post_attn_ln"], x)
+        x = residual + self.down(p["down"],
+                                 self.act(self.gate_up(p["gate_up"], x)))
+        return x, kv_cache
+
+    def encode_call(self, p, x, positions, mask, causal: bool):
+        """Dense [B, L, H] forward without KV cache (embedder mode)."""
+        B, L, H = x.shape
+        residual = x
+        x = self.input_ln(p["input_ln"], x)
+        qkv = self.qkv(p["qkv"], x.reshape(B * L, H))
+        q, k, v = self.qkv.split_qkv(qkv)
+        q, k = self.rope(positions.reshape(-1), q, k)
+        q = q.reshape(B, L, self.num_heads, self.head_dim)
+        k = k.reshape(B, L, self.num_kv_heads, self.head_dim)
+        v = v.reshape(B, L, self.num_kv_heads, self.head_dim)
+        attn = dense_attention(q, k, v, mask.astype(bool), causal=causal,
+                               scale=self.head_dim ** -0.5)
+        attn = attn.reshape(B, L, self.num_heads * self.head_dim)
+        x = residual + self.o(p["o"], attn)
+        residual = x
+        x = self.post_attn_ln(p["post_attn_ln"], x)
+        x = residual + self.down(p["down"],
+                                 self.act(self.gate_up(p["gate_up"], x)))
+        return x
+
+
+class LlamaForCausalLM:
+    """HF arch names: LlamaForCausalLM, MistralForCausalLM."""
+
+    qkv_bias = False
+    encode_causal = True
+
+    def __init__(self, model_config, attn_backend=None) -> None:
+        cfg = model_config.hf_config
+        dtype = model_config.dtype
+        self.cfg = cfg
+        self.dtype = dtype
+        self.model_config = model_config
+        H = cfg.hidden_size
+        self.tie_word_embeddings = bool(getattr(cfg, "tie_word_embeddings",
+                                                False))
+        rope_theta = getattr(cfg, "rope_theta", None) or 10000.0
+        rope_scaling = getattr(cfg, "rope_scaling", None)
+        max_pos = model_config.max_model_len
+        self.embed = VocabParallelEmbedding(cfg.vocab_size, H, dtype=dtype)
+        self.decoder_layers = [
+            LlamaDecoderLayer(cfg, dtype, attn_backend,
+                              qkv_bias=self.qkv_bias, max_position=max_pos,
+                              rope_scaling=rope_scaling,
+                              rope_theta=rope_theta)
+            for _ in range(cfg.num_hidden_layers)
+        ]
+        self.final_norm = RMSNorm(H, eps=getattr(cfg, "rms_norm_eps", 1e-6),
+                                  dtype=dtype)
+        self.lm_head = ParallelLMHead(cfg.vocab_size, H, dtype=dtype)
+        self.num_layers = cfg.num_hidden_layers
+
+    # --- params -------------------------------------------------------------
+    def layer_tree(self):
+        tree = {
+            "embed": self.embed,
+            "layers": [l.layer_tree() for l in self.decoder_layers],
+            "final_norm": self.final_norm,
+        }
+        if not self.tie_word_embeddings:
+            tree["lm_head"] = self.lm_head
+        return tree
+
+    def specs(self):
+        return tree_specs(self.layer_tree())
+
+    def init_params(self, key):
+        tree = self.layer_tree()
+        leaves, treedef = jax.tree.flatten(
+            tree, is_leaf=lambda x: isinstance(x, Layer))
+        keys = jax.random.split(key, len(leaves))
+        params = [l.init_params(k) for l, k in zip(leaves, keys)]
+        return jax.tree.unflatten(treedef, params)
+
+    # --- decode forward ------------------------------------------------------
+    def __call__(self, params, input_ids, positions, kv_caches,
+                 meta: DecodeAttnMetadata):
+        """Returns (hidden [T, H], new_kv_caches)."""
+        x = self.embed(params["embed"], input_ids)
+        new_caches = []
+        for layer, p, cache in zip(self.decoder_layers, params["layers"],
+                                   kv_caches):
+            x, cache = layer(p, x, positions, cache, meta)
+            new_caches.append(cache)
+        x = self.final_norm(params["final_norm"], x)
+        return x, new_caches
+
+    def compute_logits(self, params, hidden, logits_indices):
+        """Gather last-token rows then project to vocab (f32)."""
+        rows = hidden[logits_indices]  # [S, H]
+        w = params["embed"]["weight"] if self.tie_word_embeddings else None
+        logits = self.lm_head(params.get("lm_head", {}), rows,
+                              embedding_weight=w)
+        return logits[:, :self.cfg.vocab_size]
+
+    # --- embedder mode -------------------------------------------------------
+    def encode_forward(self, params, input_ids, positions, mask):
+        x = self.embed(params["embed"], input_ids)
+        for layer, p in zip(self.decoder_layers, params["layers"]):
+            x = layer.encode_call(p, x, positions, mask,
+                                  causal=self.encode_causal)
+        x = self.final_norm(params["final_norm"], x)
+        return {"hidden_states": x, "pooled_output": None}
+
+    # --- weight loading --------------------------------------------------------
+    hf_layer_prefix = "model.layers."
+
+    def load_weights(self, weights: Iterator[Tuple[str, np.ndarray]]):
+        """Stream HF checkpoint → fused numpy param tree with stacked-param
+        mapping (q,k,v → qkv; gate,up → gate_up), the same contract as the
+        reference's per-model load_weights (reference: qwen2.py:378-419)."""
+        L = self.num_layers
+        p: Dict[str, Any] = {
+            "layers": [dict() for _ in range(L)],
+        }
+        staging: Dict[str, Dict[str, np.ndarray]] = {}
+
+        def set_layer(i, key, sub, arr):
+            p["layers"][i].setdefault(key, {})[sub] = arr
+
+        for name, arr in weights:
+            arr = np.asarray(arr)
+            if name == "model.embed_tokens.weight":
+                p["embed"] = {"weight": arr}
+            elif name == "model.norm.weight":
+                p["final_norm"] = {"weight": arr}
+            elif name == "lm_head.weight":
+                if not self.tie_word_embeddings:
+                    p["lm_head"] = {"weight": arr}
+            elif name.startswith(self.hf_layer_prefix):
+                rest = name[len(self.hf_layer_prefix):]
+                idx_s, _, tail = rest.partition(".")
+                i = int(idx_s)
+                staging.setdefault(str(i), {})[tail] = arr
+
+        for i_s, tensors in staging.items():
+            i = int(i_s)
+
+            def w(n):
+                return tensors[n + ".weight"].T  # [out,in] → [in,out]
+
+            def b(n):
+                return tensors.get(n + ".bias")
+
+            qkv_k = np.concatenate([w("self_attn.q_proj"),
+                                    w("self_attn.k_proj"),
+                                    w("self_attn.v_proj")], axis=1)
+            set_layer(i, "qkv", "kernel", qkv_k)
+            if b("self_attn.q_proj") is not None:
+                set_layer(i, "qkv", "bias", np.concatenate(
+                    [b("self_attn.q_proj"), b("self_attn.k_proj"),
+                     b("self_attn.v_proj")]))
+            set_layer(i, "o", "kernel", w("self_attn.o_proj"))
+            set_layer(i, "gate_up", "kernel", np.concatenate(
+                [w("mlp.gate_proj"), w("mlp.up_proj")], axis=1))
+            set_layer(i, "down", "kernel", w("mlp.down_proj"))
+            set_layer(i, "input_ln", "weight",
+                      tensors["input_layernorm.weight"])
+            set_layer(i, "post_attn_ln", "weight",
+                      tensors["post_attention_layernorm.weight"])
+        if self.tie_word_embeddings:
+            p.pop("lm_head", None)
+        elif "lm_head" not in p:
+            # Some checkpoints tie implicitly: reuse the embedding.
+            p["lm_head"] = {"weight": p["embed"]["weight"].copy()}
+        return p

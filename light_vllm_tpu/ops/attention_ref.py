@@ -88,8 +88,9 @@ def ragged_paged_attention_ref(
     # Gather per-seq KV [S, max_kv, kvh, d].
     slot_ids = (block_tables[:, :, None] * page_size
                 + jnp.arange(page_size)[None, None, :]).reshape(S, max_kv)
-    k_seq = jnp.swapaxes(k_pages[:, slot_ids, :], 0, 1)  # [S, max_kv, kvh, d]
-    v_seq = jnp.swapaxes(v_pages[:, slot_ids, :], 0, 1)
+    # k_pages[:, slot_ids, :] : [kvh, S, max_kv, d] → [S, max_kv, kvh, d]
+    k_seq = jnp.transpose(k_pages[:, slot_ids, :], (1, 2, 0, 3))
+    v_seq = jnp.transpose(v_pages[:, slot_ids, :], (1, 2, 0, 3))
     if kvh != h:
         rep = h // kvh
         k_seq = jnp.repeat(k_seq, rep, axis=2)

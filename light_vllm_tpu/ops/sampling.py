@@ -1,0 +1,142 @@
+"""Device-side sampling pipeline (pure jnp, fully vectorized over seq slots).
+
+Counterpart of the reference's GPU sampler (reference:
+light_vllm/decoding/backends/sampler.py:34-202 + Triton ops/sample.py):
+penalties → temperature → top-k/top-p/min-p → gumbel sampling, plus chosen
+logprob and optional top-k logprobs. Everything is branchless under jit;
+host passes static flags that select the cheapest adequate variant (e.g.
+skip the vocab sort when no request uses top-k/p).
+
+Greedy is temperature == 0 (mask handled by jnp.where, no separate path).
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+class SampleResult(NamedTuple):
+    next_tokens: jnp.ndarray      # [S] int32
+    chosen_logprobs: jnp.ndarray  # [S] f32
+    topk_logprobs: Optional[jnp.ndarray]  # [S, K] f32 or None
+    topk_ids: Optional[jnp.ndarray]       # [S, K] int32 or None
+
+
+def apply_penalties(logits: jnp.ndarray, output_tokens: jnp.ndarray,
+                    prompt_tokens: Optional[jnp.ndarray],
+                    presence: jnp.ndarray, frequency: jnp.ndarray,
+                    repetition: jnp.ndarray) -> jnp.ndarray:
+    """output_tokens/prompt_tokens: [S, L] padded with vocab_size (=ignore).
+
+    presence/frequency act on *output* counts; repetition acts on any token
+    seen in prompt or output (HF semantics, matching the reference sampler).
+    """
+    S, V = logits.shape
+    ignore = V  # pad id == vocab_size
+
+    def count_hist(tokens):
+        one = jnp.where(tokens < ignore, 1, 0)
+        hist = jnp.zeros((S, V + 1), jnp.int32)
+        hist = hist.at[jnp.arange(S)[:, None], tokens].add(one)
+        return hist[:, :V]
+
+    out_counts = count_hist(output_tokens)
+    seen = out_counts > 0
+    if prompt_tokens is not None:
+        seen = seen | (count_hist(prompt_tokens) > 0)
+
+    logits = logits - frequency[:, None] * out_counts
+    logits = logits - presence[:, None] * (out_counts > 0)
+    rep = repetition[:, None]
+    logits = jnp.where(seen,
+                       jnp.where(logits > 0, logits / rep, logits * rep),
+                       logits)
+    return logits
+
+
+def apply_top_k_top_p_min_p(logits: jnp.ndarray, top_k: jnp.ndarray,
+                            top_p: jnp.ndarray, min_p: jnp.ndarray
+                            ) -> jnp.ndarray:
+    """Mask logits outside the per-row nucleus. One descending sort serves
+    top-k (rank cutoff), top-p (cumulative prob cutoff) and min-p."""
+    S, V = logits.shape
+    sorted_logits = -jnp.sort(-logits, axis=-1)  # descending
+
+    # top-k: threshold = k-th largest logit (k=0 → off)
+    k = jnp.where(top_k > 0, top_k, V).astype(jnp.int32)
+    kth = jnp.take_along_axis(sorted_logits,
+                              jnp.clip(k[:, None] - 1, 0, V - 1), axis=-1)
+    logits = jnp.where(logits < kth, NEG_INF, logits)
+
+    # top-p on the sorted distribution: find the smallest logit kept
+    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    # keep tokens while cumulative prob (exclusive) < top_p
+    keep_sorted = (cum - probs_sorted) < top_p[:, None]
+    # threshold = last kept sorted logit
+    num_keep = jnp.maximum(jnp.sum(keep_sorted, axis=-1), 1)
+    pth = jnp.take_along_axis(sorted_logits, num_keep[:, None] - 1, axis=-1)
+    logits = jnp.where(logits < pth, NEG_INF, logits)
+
+    # min-p: drop tokens below min_p * max_prob
+    probs = jax.nn.softmax(logits, axis=-1)
+    max_p = jnp.max(probs, axis=-1, keepdims=True)
+    logits = jnp.where(probs < min_p[:, None] * max_p, NEG_INF, logits)
+    return logits
+
+
+@partial(jax.jit, static_argnames=("use_penalties", "use_topkp",
+                                   "num_logprobs"))
+def sample(logits: jnp.ndarray,
+           temperature: jnp.ndarray,
+           top_k: jnp.ndarray, top_p: jnp.ndarray, min_p: jnp.ndarray,
+           presence: jnp.ndarray, frequency: jnp.ndarray,
+           repetition: jnp.ndarray,
+           output_tokens: jnp.ndarray,
+           prompt_tokens: Optional[jnp.ndarray],
+           seeds: jnp.ndarray,
+           *, use_penalties: bool, use_topkp: bool,
+           num_logprobs: int = 0) -> SampleResult:
+    """logits [S, V] f32 → sampled token per row."""
+    logits = logits.astype(jnp.float32)
+    if use_penalties:
+        logits = apply_penalties(logits, output_tokens, prompt_tokens,
+                                 presence, frequency, repetition)
+
+    greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # logprobs of the *pre-temperature* distribution (reference semantics:
+    # logprobs reflect the penalized distribution at temperature 1).
+    logz = jax.nn.log_softmax(logits, axis=-1)
+
+    temp = jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = logits / temp
+    if use_topkp:
+        scaled = apply_top_k_top_p_min_p(scaled, top_k, top_p, min_p)
+
+    # Gumbel-max sampling with per-row seeds.
+    base = jax.random.key(0)
+    gumbel = jax.vmap(lambda s: jax.random.gumbel(
+        jax.random.fold_in(base, s), (logits.shape[-1],), jnp.float32))(
+            seeds.astype(jnp.uint32))
+    random_tokens = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+
+    is_greedy = temperature < 1e-5
+    next_tokens = jnp.where(is_greedy, greedy_tokens, random_tokens)
+
+    chosen_logprobs = jnp.take_along_axis(
+        logz, next_tokens[:, None], axis=-1)[:, 0]
+
+    if num_logprobs > 0:
+        topk_lp, topk_ids = jax.lax.top_k(logz, num_logprobs)
+        return SampleResult(next_tokens, chosen_logprobs, topk_lp,
+                            topk_ids.astype(jnp.int32))
+    return SampleResult(next_tokens, chosen_logprobs, None, None)
+
+
+def compute_greedy(logits: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
