@@ -27,13 +27,24 @@ logger = init_logger(__name__)
 
 @dataclass
 class DecodeAttnMetadata:
-    """Device-side attention metadata (all jnp after to_device)."""
+    """Attention metadata: device arrays + static layout ints (the ints are
+    trace-time constants — part of the jit cache key, not traced)."""
 
     slot_mapping: Any       # [T] i32
     block_tables: Any       # [S, max_pages] i32
     seq_lens: Any           # [S] i32
-    query_start_loc: Any    # [S+1] i32
-    num_seqs: Any           # [] i32
+    seq_ids: Any            # [T] i32 token → seq slot
+    positions: Any          # [T] i32
+    ctx_lens: Any = None    # [S] i32
+    chunk_starts: Any = None  # [S] i32
+    chunk_lens: Any = None  # [S] i32
+    tile_seq: Any = None    # [NT] i32
+    tile_qstart: Any = None  # [NT] i32
+    num_seqs: Any = None    # [] i32
+    # static:
+    num_decode_tokens: int = 0
+    decode_region: int = 0
+    num_prefill_seqs: int = 0
 
 
 class PagedAttnBackend:
@@ -77,7 +88,7 @@ class PagedAttnBackend:
         """q: [T, h, d] → [T, h, d]."""
         return ragged_paged_attention_ref(
             q, k_pages.astype(q.dtype), v_pages.astype(q.dtype),
-            meta.block_tables, meta.seq_lens, meta.query_start_loc,
+            meta.block_tables, meta.seq_lens, meta.seq_ids, meta.positions,
             self.block_size, scale=scale, sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap)
 
@@ -88,14 +99,40 @@ class PallasPagedAttnBackend(PagedAttnBackend):
     def attention(self, q, k_pages, v_pages, meta: DecodeAttnMetadata, *,
                   scale: float, sliding_window: Optional[int] = None,
                   logits_soft_cap: Optional[float] = None):
-        from light_vllm_tpu.ops.ragged_paged_attention import \
-            ragged_paged_attention
+        if sliding_window is not None or logits_soft_cap is not None:
+            # Kernel support lands later; the jnp path is correct.
+            return super().attention(
+                q, k_pages, v_pages, meta, scale=scale,
+                sliding_window=sliding_window,
+                logits_soft_cap=logits_soft_cap)
 
-        return ragged_paged_attention(
-            q, k_pages, v_pages, meta.block_tables, meta.seq_lens,
-            meta.query_start_loc, meta.num_seqs, self.block_size,
-            scale=scale, sliding_window=sliding_window,
-            logits_soft_cap=logits_soft_cap)
+        import jax.numpy as jnp
+
+        from light_vllm_tpu.ops.paged_attention_pallas import \
+            paged_attention_decode
+        from light_vllm_tpu.ops.prefill_attention_pallas import \
+            prefill_paged_attention
+
+        D = meta.decode_region
+        out_parts = []
+        if D > 0:
+            out_d = paged_attention_decode(
+                q[:D], k_pages, v_pages, meta.block_tables[:D],
+                meta.seq_lens[:D], page_size=self.block_size, scale=scale)
+            out_parts.append(out_d)
+        if meta.num_prefill_seqs > 0:
+            out_p = prefill_paged_attention(
+                q, k_pages, v_pages, meta.tile_seq, meta.tile_qstart,
+                meta.block_tables, meta.seq_lens, meta.ctx_lens,
+                meta.chunk_starts, page_size=self.block_size, scale=scale)
+            out_parts.append(out_p[D:])
+        if not out_parts:
+            return jnp.zeros_like(q)
+        if len(out_parts) == 1 and D > 0 and meta.num_prefill_seqs == 0 \
+                and D < q.shape[0]:
+            out_parts.append(jnp.zeros_like(q[D:]))
+        return jnp.concatenate(out_parts, axis=0) \
+            if len(out_parts) > 1 else out_parts[0]
 
 
 def get_decode_attn_backend(**kwargs) -> PagedAttnBackend:

@@ -89,16 +89,15 @@ class DecodingOutputProcessor(OutputProcessor):
         metas = scheduler_output.seq_group_metadata_list
         if metas:
             tokens, chosen_lp, _, _ = execute_output.pythonize()
-            slot = 0
-            for sched, meta in zip(scheduler_output.scheduled_seq_groups,
-                                   metas):
+            for sched, meta, slots in zip(
+                    scheduler_output.scheduled_seq_groups, metas,
+                    scheduler_output.sample_slots):
                 g = sched.seq_group
-                for seq_id in meta.seq_data:
+                for seq_id, slot in zip(meta.seq_data, slots):
                     seq = g.seqs_dict[seq_id]
                     token = int(tokens[slot])
                     lp = float(chosen_lp[slot]) if chosen_lp is not None \
                         else 0.0
-                    slot += 1
                     # advance computed-token count by this chunk
                     seq.data.update_num_computed_tokens(
                         sched.token_chunk_size)

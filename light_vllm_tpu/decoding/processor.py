@@ -96,77 +96,119 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         return cls(cc.block_size, mc.max_model_len, sc.max_num_seqs,
                    mc.get_vocab_size())
 
+    TILE_Q = 128  # must match ops/prefill_attention_pallas.TILE_Q
+
     def __call__(self, scheduler_output: DecodingSchedulerOutput
                  ) -> ExecuteInput:
         metas = scheduler_output.seq_group_metadata_list
-        tokens: List[int] = []
-        positions: List[int] = []
-        slots: List[int] = []
-        seq_rows: List[dict] = []  # one per (seq slot)
 
+        # Pass 1: collect rows, decodes first then prefills (layout
+        # contract documented on DecodingModelInput).
+        decode_rows: List[dict] = []
+        prefill_rows: List[dict] = []
+        meta_row_refs: List[List[dict]] = []
         for meta in metas:
+            refs = []
             for seq_id, data in meta.seq_data.items():
                 n_computed = data.get_num_computed_tokens()
-                if meta.is_prompt:
-                    chunk = meta.token_chunk_size
-                else:
-                    chunk = 1
-                all_ids = data.get_token_ids()
-                new_ids = all_ids[n_computed:n_computed + chunk]
-                block_table = meta.block_tables[seq_id]
+                chunk = meta.token_chunk_size if meta.is_prompt else 1
+                new_ids = data.get_token_ids()[n_computed:n_computed + chunk]
                 row = {
                     "query_len": len(new_ids),
                     "kv_len": n_computed + len(new_ids),
-                    "block_table": block_table,
+                    "ctx_len": n_computed,
+                    "new_ids": new_ids,
+                    "block_table": meta.block_tables[seq_id],
                     "meta": meta,
                     "data": data,
-                    "do_sample": meta.do_sample,
                 }
-                seq_rows.append(row)
-                for i, tok in enumerate(new_ids):
-                    pos = n_computed + i
-                    tokens.append(tok)
-                    positions.append(pos)
-                    block = block_table[pos // self.block_size]
-                    slots.append(block * self.block_size
-                                 + pos % self.block_size)
+                (prefill_rows if len(new_ids) > 1 or meta.is_prompt
+                 else decode_rows).append(row)
+                refs.append(row)
+            meta_row_refs.append(refs)
 
-        T_real, S_real = len(tokens), len(seq_rows)
-        T = pick_token_bucket(max(T_real, 1))
-        S = min(next_power_of_2(max(S_real, 1)),
-                max(next_power_of_2(self.max_num_seqs), 1))
-        if S < S_real:
-            S = next_power_of_2(S_real)
+        D_real = len(decode_rows)
+        n_prefill = len(prefill_rows)
+        TQ = self.TILE_Q
+        if n_prefill:
+            decode_region = cdiv(max(D_real, 1), TQ) * TQ if D_real else 0
+        else:
+            decode_region = pick_token_bucket(max(D_real, 1))
+
+        # Assign flat rows + seq slots.
+        for i, row in enumerate(decode_rows):
+            row["slot"] = i
+            row["chunk_start"] = i
+        cursor = decode_region
+        tiles: List[tuple] = []
+        for k, row in enumerate(prefill_rows):
+            row["slot"] = decode_region + k
+            row["chunk_start"] = cursor
+            for t in range(cdiv(row["query_len"], TQ)):
+                tiles.append((row["slot"], cursor + t * TQ))
+            cursor += cdiv(row["query_len"], TQ) * TQ
+        T_real = cursor if n_prefill else D_real
+        T = max(pick_token_bucket(max(T_real, 1)), decode_region)
+        S_real = decode_region + n_prefill if n_prefill else D_real
+        S = next_power_of_2(max(S_real, 1))
 
         input_ids = np.zeros(T, dtype=np.int32)
-        input_ids[:T_real] = tokens
         pos_arr = np.zeros(T, dtype=np.int32)
-        pos_arr[:T_real] = positions
-        slot_arr = np.zeros(T, dtype=np.int32)  # pad slots → trash page 0
-        slot_arr[:T_real] = slots
-
+        slot_arr = np.zeros(T, dtype=np.int32)  # pad slots → null page 0
+        seq_ids = np.full(T, S - 1, dtype=np.int32)  # pads → last slot
         block_tables = np.zeros((S, self.max_pages), dtype=np.int32)
         seq_lens = np.zeros(S, dtype=np.int32)
-        query_start = np.zeros(S + 1, dtype=np.int32)
+        ctx_lens = np.zeros(S, dtype=np.int32)
+        chunk_starts = np.zeros(S, dtype=np.int32)
+        chunk_lens = np.zeros(S, dtype=np.int32)
         logits_idx = np.zeros(S, dtype=np.int32)
-        off = 0
-        for i, row in enumerate(seq_rows):
-            bt = row["block_table"]
-            block_tables[i, :len(bt)] = bt
-            seq_lens[i] = row["kv_len"]
-            query_start[i + 1] = query_start[i] + row["query_len"]
-            off += row["query_len"]
-            logits_idx[i] = off - 1  # last token of this seq's chunk
-        query_start[S_real + 1:] = query_start[S_real]
-        # padded seq slots: point logits gather at token 0 (harmless)
 
-        sampling = self._build_sampling(seq_rows, S)
+        all_rows = decode_rows + prefill_rows
+        for row in all_rows:
+            s = row["slot"]
+            start = row["chunk_start"]
+            bt = row["block_table"]
+            block_tables[s, :len(bt)] = bt
+            seq_lens[s] = row["kv_len"]
+            ctx_lens[s] = row["ctx_len"]
+            chunk_starts[s] = start
+            chunk_lens[s] = row["query_len"]
+            logits_idx[s] = start + row["query_len"] - 1
+            for i, tok in enumerate(row["new_ids"]):
+                pos = row["ctx_len"] + i
+                input_ids[start + i] = tok
+                pos_arr[start + i] = pos
+                seq_ids[start + i] = s
+                block = bt[pos // self.block_size]
+                slot_arr[start + i] = block * self.block_size \
+                    + pos % self.block_size
+
+        # Pad tokens default seq_ids to slot S-1. If that slot is real the
+        # reference impl computes (ignored) extra rows — harmless: pad KV
+        # writes go to the null page and pad outputs are never gathered.
+        NT = next_power_of_2(max(len(tiles), 1))
+        tile_seq = np.full(NT, -1, dtype=np.int32)
+        tile_qstart = np.zeros(NT, dtype=np.int32)
+        for i, (s, qs) in enumerate(tiles):
+            tile_seq[i] = s
+            tile_qstart[i] = qs
+
+        # slot map for the output processor, in meta iteration order
+        scheduler_output.sample_slots = [
+            [row["slot"] for row in refs] for refs in meta_row_refs]
+
+        sampling = self._build_sampling(all_rows, S,
+                                        slot_of=lambda r: r["slot"])
 
         model_input = DecodingModelInput(
             input_ids=input_ids, positions=pos_arr, slot_mapping=slot_arr,
-            block_tables=block_tables, seq_lens=seq_lens,
-            query_start_loc=query_start, logits_indices=logits_idx,
-            num_seqs=np.array(S_real, dtype=np.int32), sampling=sampling)
+            seq_ids=seq_ids, block_tables=block_tables, seq_lens=seq_lens,
+            ctx_lens=ctx_lens, chunk_starts=chunk_starts,
+            chunk_lens=chunk_lens, tile_seq=tile_seq,
+            tile_qstart=tile_qstart, logits_indices=logits_idx,
+            num_seqs=np.array(S_real, dtype=np.int32),
+            num_decode_tokens=D_real, decode_region=decode_region,
+            num_prefill_seqs=n_prefill, sampling=sampling)
         worker_input = DecodingWorkerInput(
             blocks_to_swap_in=scheduler_output.blocks_to_swap_in,
             blocks_to_swap_out=scheduler_output.blocks_to_swap_out,
@@ -174,8 +216,8 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         return ExecuteInput(worker_input=worker_input,
                             model_input=model_input)
 
-    def _build_sampling(self, seq_rows: List[dict], S: int
-                        ) -> SamplingTensors:
+    def _build_sampling(self, seq_rows: List[dict], S: int, *,
+                        slot_of=None) -> SamplingTensors:
         temperature = np.zeros(S, dtype=np.float32)
         top_p = np.ones(S, dtype=np.float32)
         top_k = np.zeros(S, dtype=np.int32)
@@ -201,7 +243,8 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             prompt_tokens = np.full((S, max_in), self.vocab_size,
                                     dtype=np.int32)
         rng = np.random.default_rng()
-        for i, row in enumerate(seq_rows):
+        for idx, row in enumerate(seq_rows):
+            i = slot_of(row) if slot_of is not None else idx
             sp: SamplingParams = row["meta"].sampling_params
             temperature[i] = sp.temperature
             top_p[i] = sp.top_p

@@ -256,6 +256,9 @@ class DecodingSchedulerOutput(SchedulerOutput):
     # not re-walk sequence state (metadata snapshot).
     seq_group_metadata_list: List["SequenceGroupMetadata"] = field(
         default_factory=list)
+    # Filled by the input builder: seq slot of each (meta, seq) in iteration
+    # order, so the output processor can map sampled tokens back.
+    sample_slots: List[List[int]] = field(default_factory=list)
 
     def is_empty(self) -> bool:
         return (not self.scheduled_seq_groups
@@ -283,23 +286,38 @@ class SequenceGroupMetadata:
 # --- execute IO -----------------------------------------------------------
 @dataclass
 class DecodingModelInput(ModelInput):
-    """Flattened ragged batch (prefills + decodes) padded to buckets.
+    """Flattened ragged batch (decodes + prefills) padded to buckets.
 
-    token bucket T, seq bucket S, pages = max_model_len/page_size:
-      input_ids [T], positions [T], slot_mapping [T],
-      block_tables [S, pages], seq_lens [S], query_start_loc [S+1],
-      num_seqs [] — actual count, logits_indices [S] (last-token index per
-      seq slot for sampling).
+    Layout contract (what the Pallas kernels assume):
+      - token rows [0, num_decode_tokens): one decode token per seq, and
+        token row i belongs to seq slot i;
+      - rows [num_decode_tokens, decode_region): padding;
+      - each prefill chunk starts at a TILE_Q(=128)-aligned row ≥
+        decode_region; prefill seq k occupies seq slot decode_region + k.
+    Padded tokens carry seq_ids → a slot whose seq_len is 0 and
+    slot_mapping → the null page 0.
+
+    Shapes: tokens T (bucketed), seqs S (bucketed pow2), pages =
+    max_model_len/page_size, NT prefill tiles (bucketed).
     """
 
-    input_ids: np.ndarray = None
-    positions: np.ndarray = None
-    slot_mapping: np.ndarray = None
-    block_tables: np.ndarray = None
-    seq_lens: np.ndarray = None
-    query_start_loc: np.ndarray = None
-    logits_indices: np.ndarray = None
-    num_seqs: np.ndarray = None
+    input_ids: np.ndarray = None     # [T]
+    positions: np.ndarray = None     # [T]
+    slot_mapping: np.ndarray = None  # [T]
+    seq_ids: np.ndarray = None       # [T] token → seq slot
+    block_tables: np.ndarray = None  # [S, pages]
+    seq_lens: np.ndarray = None      # [S] total kv len after this step
+    ctx_lens: np.ndarray = None      # [S] kv len before this step's chunk
+    chunk_starts: np.ndarray = None  # [S] flat row where seq's chunk starts
+    chunk_lens: np.ndarray = None    # [S] tokens of seq in this step
+    tile_seq: np.ndarray = None      # [NT] prefill tile → seq slot (-1 skip)
+    tile_qstart: np.ndarray = None   # [NT] prefill tile → flat row
+    logits_indices: np.ndarray = None  # [S] last-token row per seq slot
+    num_seqs: np.ndarray = None      # [] real seq count
+    # static (host) ints — part of the jit cache key, not traced:
+    num_decode_tokens: int = 0       # real decode tokens
+    decode_region: int = 0           # padded decode region (kernel slice)
+    num_prefill_seqs: int = 0
     sampling: Optional["SamplingTensors"] = None
 
 

@@ -153,17 +153,24 @@ class DecodingModelRunner:
         self.params = params
 
     def _make_step_fn(self, use_penalties: bool, use_topkp: bool,
-                      num_logprobs: int, has_prompt_tokens: bool):
+                      num_logprobs: int, has_prompt_tokens: bool,
+                      decode_region: int, num_prefill_seqs: int):
         model = self.model
 
         def step(params, kv_caches, input_ids, positions, slot_mapping,
-                 block_tables, seq_lens, query_start_loc, logits_indices,
+                 seq_ids, block_tables, seq_lens, ctx_lens, chunk_starts,
+                 chunk_lens, tile_seq, tile_qstart, logits_indices,
                  num_seqs, temperature, top_p, top_k, min_p, presence,
                  frequency, repetition, output_tokens, prompt_tokens, seeds):
             meta = DecodeAttnMetadata(
                 slot_mapping=slot_mapping, block_tables=block_tables,
-                seq_lens=seq_lens, query_start_loc=query_start_loc,
-                num_seqs=num_seqs)
+                seq_lens=seq_lens, seq_ids=seq_ids, positions=positions,
+                ctx_lens=ctx_lens, chunk_starts=chunk_starts,
+                chunk_lens=chunk_lens, tile_seq=tile_seq,
+                tile_qstart=tile_qstart, num_seqs=num_seqs,
+                num_decode_tokens=decode_region,
+                decode_region=decode_region,
+                num_prefill_seqs=num_prefill_seqs)
             hidden, kv_caches = model(params, input_ids, positions,
                                       kv_caches, meta)
             logits = model.compute_logits(params, hidden, logits_indices)
@@ -187,16 +194,20 @@ class DecodingModelRunner:
                          or np.any(s.min_p > 0))
         num_logprobs = 0  # per-batch logprob gather added via metadata later
         key = (use_penalties, use_topkp, num_logprobs,
-               s.prompt_tokens is not None)
+               s.prompt_tokens is not None, model_input.decode_region,
+               min(model_input.num_prefill_seqs, 1))
         if key not in self._step_cache:
             self._step_cache[key] = self._make_step_fn(*key)
         step_fn = self._step_cache[key]
         (next_tokens, chosen_lp, topk_lp, topk_ids, kv_caches) = step_fn(
             self.params, kv_caches, model_input.input_ids,
             model_input.positions, model_input.slot_mapping,
-            model_input.block_tables, model_input.seq_lens,
-            model_input.query_start_loc, model_input.logits_indices,
-            model_input.num_seqs, s.temperature, s.top_p, s.top_k, s.min_p,
+            model_input.seq_ids, model_input.block_tables,
+            model_input.seq_lens, model_input.ctx_lens,
+            model_input.chunk_starts, model_input.chunk_lens,
+            model_input.tile_seq, model_input.tile_qstart,
+            model_input.logits_indices, model_input.num_seqs,
+            s.temperature, s.top_p, s.top_k, s.min_p,
             s.presence_penalty, s.frequency_penalty, s.repetition_penalty,
             s.output_tokens, s.prompt_tokens, s.seeds)
         out = DecodingExecuteOutput(
