@@ -48,6 +48,25 @@ def _place(params_np: Any, specs: Any, mesh) -> Any:
                             x, (np.ndarray, jnp.ndarray)))
 
 
+def _apply_quantize_hooks(layer_tree: Any, params: Any) -> Any:
+    """Walk the layer tree next to the raw params; let layers that expect a
+    quantized format quantize their float kernels host-side."""
+    from light_vllm_tpu.layers.base import Layer
+
+    if isinstance(layer_tree, Layer):
+        if hasattr(layer_tree, "maybe_quantize"):
+            return layer_tree.maybe_quantize(params)
+        return params
+    if isinstance(layer_tree, dict):
+        return {k: (_apply_quantize_hooks(layer_tree[k], v)
+                    if k in layer_tree else v)
+                for k, v in params.items()}
+    if isinstance(layer_tree, (list, tuple)):
+        return [_apply_quantize_hooks(lt, p)
+                for lt, p in zip(layer_tree, params)]
+    return params
+
+
 class BaseModelLoader:
 
     def __init__(self, load_config: LoadConfig) -> None:
@@ -55,6 +74,11 @@ class BaseModelLoader:
 
     def load_params(self, model, engine_config, mesh=None):
         raise NotImplementedError
+
+    def _finalize(self, model, params_np, mesh):
+        if hasattr(model, "layer_tree"):
+            params_np = _apply_quantize_hooks(model.layer_tree(), params_np)
+        return _place(params_np, model.specs(), mesh)
 
 
 class DefaultModelLoader(BaseModelLoader):
@@ -73,7 +97,7 @@ class DefaultModelLoader(BaseModelLoader):
         else:
             it = pt_weights_iterator(files)
         params_np = model.load_weights(it)
-        return _place(params_np, model.specs(), mesh)
+        return self._finalize(model, params_np, mesh)
 
 
 class DummyModelLoader(BaseModelLoader):
@@ -106,7 +130,7 @@ class StateDictLoader(BaseModelLoader):
 
         params_np = model.load_weights(
             state_dict_iterator(self.load_config.state_dict))
-        return _place(params_np, model.specs(), mesh)
+        return self._finalize(model, params_np, mesh)
 
 
 def get_model_loader(load_config: LoadConfig) -> BaseModelLoader:

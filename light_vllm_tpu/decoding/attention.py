@@ -99,8 +99,10 @@ class PallasPagedAttnBackend(PagedAttnBackend):
     def attention(self, q, k_pages, v_pages, meta: DecodeAttnMetadata, *,
                   scale: float, sliding_window: Optional[int] = None,
                   logits_soft_cap: Optional[float] = None):
-        if sliding_window is not None or logits_soft_cap is not None:
-            # Kernel support lands later; the jnp path is correct.
+        if (sliding_window is not None or logits_soft_cap is not None
+                or self.head_dim % 128 != 0):
+            # Kernel support lands later (sliding window / soft cap /
+            # sub-128 head dims); the jnp path is correct.
             return super().attention(
                 q, k_pages, v_pages, meta, scale=scale,
                 sliding_window=sliding_window,

@@ -150,7 +150,9 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         T_real = cursor if n_prefill else D_real
         T = max(pick_token_bucket(max(T_real, 1)), decode_region)
         S_real = decode_region + n_prefill if n_prefill else D_real
-        S = next_power_of_2(max(S_real, 1))
+        # The decode kernel runs over rows [0, decode_region): the seq-slot
+        # arrays must cover that range or the kernel reads junk block ids.
+        S = max(next_power_of_2(max(S_real, 1)), decode_region)
 
         input_ids = np.zeros(T, dtype=np.int32)
         pos_arr = np.zeros(T, dtype=np.int32)

@@ -68,6 +68,19 @@ class LinearBase(Layer):
             y = y + params["bias"].astype(y.dtype)
         return y
 
+    def maybe_quantize(self, raw: Params) -> Params:
+        """Quantize a float host-side kernel at load time when this layer's
+        specs expect a quantized format (reference:
+        process_weights_after_loading, fp8.py:172-180)."""
+        if ("scale" in self._specs and "scale" not in raw
+                and "kernel" in raw
+                and hasattr(self.quant_method, "quantize_host")):
+            qd = self.quant_method.quantize_host(raw["kernel"])
+            raw = dict(raw)
+            raw.pop("kernel")
+            raw.update(qd)
+        return raw
+
 
 class ReplicatedLinear(LinearBase):
     """Weight replicated on every device (reference: linear.py:183)."""

@@ -34,21 +34,28 @@ class LlamaDecoderLayer:
 
     def __init__(self, cfg, dtype, attn_backend, *, qkv_bias: bool = False,
                  max_position: int = 4096, rope_scaling=None,
-                 rope_theta: float = 10000.0) -> None:
+                 rope_theta: float = 10000.0, quant_config=None) -> None:
         H = cfg.hidden_size
         self.num_heads = cfg.num_attention_heads
         self.num_kv_heads = getattr(cfg, "num_key_value_heads",
                                     None) or self.num_heads
         self.head_dim = getattr(cfg, "head_dim", None) or H // self.num_heads
         inter = cfg.intermediate_size
+
+        def qm():
+            return quant_config.get_linear_method() if quant_config else None
+
         self.qkv = QKVParallelLinear(H, self.head_dim, self.num_heads,
                                      self.num_kv_heads, bias=qkv_bias,
-                                     dtype=dtype)
+                                     dtype=dtype, quant_method=qm())
         self.o = RowParallelLinear(self.num_heads * self.head_dim, H,
-                                   bias=False, dtype=dtype)
+                                   bias=False, dtype=dtype,
+                                   quant_method=qm())
         self.gate_up = MergedColumnParallelLinear(H, [inter, inter],
-                                                  bias=False, dtype=dtype)
-        self.down = RowParallelLinear(inter, H, bias=False, dtype=dtype)
+                                                  bias=False, dtype=dtype,
+                                                  quant_method=qm())
+        self.down = RowParallelLinear(inter, H, bias=False, dtype=dtype,
+                                      quant_method=qm())
         self.act = get_gated_act_fn(getattr(cfg, "hidden_act", "silu"))
         eps = getattr(cfg, "rms_norm_eps", 1e-6)
         self.input_ln = RMSNorm(H, eps=eps, dtype=dtype)
@@ -125,12 +132,16 @@ class LlamaForCausalLM:
         rope_theta = getattr(cfg, "rope_theta", None) or 10000.0
         rope_scaling = getattr(cfg, "rope_scaling", None)
         max_pos = model_config.max_model_len
+        from light_vllm_tpu.layers.quant import get_quantization_config
+
+        quant_config = get_quantization_config(model_config.quantization)
         self.embed = VocabParallelEmbedding(cfg.vocab_size, H, dtype=dtype)
         self.decoder_layers = [
             LlamaDecoderLayer(cfg, dtype, attn_backend,
                               qkv_bias=self.qkv_bias, max_position=max_pos,
                               rope_scaling=rope_scaling,
-                              rope_theta=rope_theta)
+                              rope_theta=rope_theta,
+                              quant_config=quant_config)
             for _ in range(cfg.num_hidden_layers)
         ]
         self.final_norm = RMSNorm(H, eps=getattr(cfg, "rms_norm_eps", 1e-6),

@@ -162,6 +162,15 @@ def paged_attention_decode(
     S, h, d = q.shape
     kvh, num_slots, _ = k_pages.shape
     G = h // kvh
+    # Pad the GQA group up to the sublane tile (8 f32 / 16 bf16) so the
+    # [1, 1, G, d] q block is Mosaic-tileable; padded rows cost nothing
+    # (decode attention is DMA-bound).
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    G_pad = max(cdiv(G, sublane) * sublane, sublane)
+    q_grouped = q.reshape(S, kvh, G, d)
+    if G_pad != G:
+        q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, G_pad - G),
+                                        (0, 0)))
     kp = k_pages.reshape(kvh, num_slots // page_size, page_size, d)
     vp = v_pages.reshape(kvh, num_slots // page_size, page_size, d)
 
@@ -169,20 +178,21 @@ def paged_attention_decode(
         num_scalar_prefetch=2,
         grid=(S, kvh),
         in_specs=[
-            # q group for (s, j): [1, 1, G, d] block of [S, kvh, G, d]
-            pl.BlockSpec((1, 1, G, d), lambda s, j, *_: (s, j, 0, 0),
+            # q group for (s, j): [1, 1, G_pad, d] block of [S, kvh, G_pad, d]
+            pl.BlockSpec((1, 1, G_pad, d), lambda s, j, *_: (s, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # k_pages stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # v_pages stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, G, d), lambda s, j, *_: (s, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, G_pad, d),
+                               lambda s, j, *_: (s, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, pages_per_fetch, page_size, d), k_pages.dtype),
             pltpu.VMEM((2, pages_per_fetch, page_size, d), v_pages.dtype),
-            pltpu.VMEM((G, d), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G_pad, d), jnp.float32),
+            pltpu.VMEM((G_pad, 128), jnp.float32),
+            pltpu.VMEM((G_pad, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2, pages_per_fetch)),
         ],
     )
@@ -191,9 +201,8 @@ def paged_attention_decode(
         functools.partial(_decode_kernel, page_size=page_size,
                           pages_per_fetch=pages_per_fetch, scale=scale),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, kvh, G, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, kvh, G_pad, d), q.dtype),
         interpret=interpret,
     )
-    q_grouped = q.reshape(S, kvh, G, d)
     out = kernel(block_tables, seq_lens, q_grouped, kp, vp)
-    return out.reshape(S, h, d)
+    return out[:, :, :G, :].reshape(S, h, d)

@@ -199,6 +199,13 @@ def prefill_paged_attention(
     Tpad, h, d = q.shape
     kvh, num_slots, _ = k_pages.shape
     G = h // kvh
+    # Pad GQA group to the sublane tile (see paged_attention_pallas).
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    G_pad = max((G + sublane - 1) // sublane * sublane, sublane)
+    q_grouped = q.reshape(Tpad, kvh, G, d)
+    if G_pad != G:
+        q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, G_pad - G),
+                                        (0, 0)))
     NT = tile_seq.shape[0]
     kp = k_pages.reshape(kvh, num_slots // page_size, page_size, d)
     vp = v_pages.reshape(kvh, num_slots // page_size, page_size, d)
@@ -214,13 +221,13 @@ def prefill_paged_attention(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((TILE_Q, G, d), q.dtype),
-            pltpu.VMEM((TILE_Q, G, d), q.dtype),
+            pltpu.VMEM((TILE_Q, G_pad, d), q.dtype),
+            pltpu.VMEM((TILE_Q, G_pad, d), q.dtype),
             pltpu.VMEM((2, R, d), k_pages.dtype),
             pltpu.VMEM((2, R, d), v_pages.dtype),
-            pltpu.VMEM((TILE_Q * G, d), jnp.float32),
-            pltpu.VMEM((TILE_Q * G, 128), jnp.float32),
-            pltpu.VMEM((TILE_Q * G, 128), jnp.float32),
+            pltpu.VMEM((TILE_Q * G_pad, d), jnp.float32),
+            pltpu.VMEM((TILE_Q * G_pad, 128), jnp.float32),
+            pltpu.VMEM((TILE_Q * G_pad, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2, 2, pages_per_fetch)),
@@ -231,10 +238,9 @@ def prefill_paged_attention(
         functools.partial(_prefill_kernel, page_size=page_size,
                           pages_per_fetch=pages_per_fetch, scale=scale),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Tpad, kvh, G, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((Tpad, kvh, G_pad, d), q.dtype),
         interpret=interpret,
     )
-    q_grouped = q.reshape(Tpad, kvh, G, d)
     out = kernel(tile_seq, tile_qstart, block_tables, seq_lens, ctx_lens,
                  chunk_starts, q_grouped, kp, vp)
-    return out.reshape(Tpad, h, d)
+    return out[:, :, :G, :].reshape(Tpad, h, d)
