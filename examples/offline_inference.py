@@ -1,0 +1,52 @@
+"""Offline text generation (reference: examples/ offline inference pattern).
+
+With a HF checkpoint:
+    python examples/offline_inference.py --model Qwen/Qwen2-0.5B-Instruct
+
+Offline (no network): omit --model to run a small random-weight Qwen2-class
+model on token-id prompts.
+"""
+
+import argparse
+
+from light_vllm_tpu import LLM, SamplingParams
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--max-tokens", type=int, default=32)
+    ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--quantization", default=None)
+    args = ap.parse_args()
+
+    sampling = SamplingParams(temperature=args.temperature,
+                              max_tokens=args.max_tokens)
+
+    if args.model:
+        llm = LLM(model=args.model, quantization=args.quantization)
+        prompts = [
+            "Hello, my name is",
+            "The capital of France is",
+            "The future of AI is",
+        ]
+    else:
+        cfg = dict(architectures=["Qwen2ForCausalLM"], vocab_size=1024,
+                   hidden_size=256, num_hidden_layers=4,
+                   num_attention_heads=4, num_key_value_heads=2,
+                   intermediate_size=512, max_position_embeddings=512,
+                   rms_norm_eps=1e-6, rope_theta=10000.0, hidden_act="silu",
+                   tie_word_embeddings=False)
+        llm = LLM(hf_config=cfg, load_format="dummy",
+                  quantization=args.quantization, max_model_len=256)
+        prompts = [{"prompt_token_ids": list(range(5, 25))},
+                   {"prompt_token_ids": list(range(100, 140))}]
+        sampling.detokenize = False
+
+    for out in llm.generate(prompts, sampling):
+        text = out.outputs[0].text or out.outputs[0].token_ids
+        print(f"[{out.request_id}] {text!r}")
+
+
+if __name__ == "__main__":
+    main()

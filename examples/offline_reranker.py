@@ -1,0 +1,27 @@
+"""Offline cross-encoder reranking (reference: reranker workflow examples).
+
+    python examples/offline_reranker.py --model BAAI/bge-reranker-v2-m3
+"""
+
+import argparse
+
+from light_vllm_tpu import LLM
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True)
+    args = ap.parse_args()
+
+    llm = LLM(model=args.model)
+    pairs = [
+        ("what is panda?", "The giant panda is a bear species endemic "
+         "to China."),
+        ("what is panda?", "Paris is the capital city of France."),
+    ]
+    for out in llm.reranker(pairs):
+        print(f"[{out.request_id}] score={out.score:.4f}")
+
+
+if __name__ == "__main__":
+    main()

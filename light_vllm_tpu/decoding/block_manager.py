@@ -207,6 +207,24 @@ class PrefixCachingBlockAllocator(NaiveBlockAllocator):
         return PrefixCachingBlockAllocator._tick
 
 
+def make_block_allocator(num_blocks: int, first_id: int = 1,
+                         prefix_caching: bool = False):
+    """Prefer the C++ host-runtime allocator (csrc/host_runtime.cpp); fall
+    back to the pure-Python implementations."""
+    try:
+        from light_vllm_tpu.native import (NativeBlockAllocator,
+                                           native_available)
+
+        if native_available():
+            return NativeBlockAllocator(num_blocks, first_id,
+                                        prefix_caching)
+    except Exception:  # toolchain missing — Python path is equivalent
+        pass
+    cls = PrefixCachingBlockAllocator if prefix_caching \
+        else NaiveBlockAllocator
+    return cls(num_blocks, first_id=first_id)
+
+
 class BlockTable:
     """Per-sequence mapping logical block -> physical BlockId."""
 
@@ -239,9 +257,9 @@ class BlockSpaceManager:
         self.num_cpu_blocks = num_cpu_blocks
         self.enable_prefix_caching = enable_prefix_caching
         self.sliding_window = sliding_window
-        alloc_cls = PrefixCachingBlockAllocator if enable_prefix_caching \
-            else NaiveBlockAllocator
-        self.device_allocator = alloc_cls(self.num_device_blocks, first_id=1)
+        self.device_allocator = make_block_allocator(
+            self.num_device_blocks, first_id=1,
+            prefix_caching=enable_prefix_caching)
         self.cpu_allocator = NaiveBlockAllocator(num_cpu_blocks, first_id=0)
         self.block_tables: Dict[int, BlockTable] = {}  # seq_id -> table
         self.watermark_blocks = int(watermark * self.num_device_blocks)
@@ -443,7 +461,7 @@ class BlockSpaceManager:
 
     def get_prefix_cache_hit_rate(self) -> float:
         a = self.device_allocator
-        if not isinstance(a, PrefixCachingBlockAllocator):
+        if not self.enable_prefix_caching or not hasattr(a, "hits"):
             return 0.0
         total = a.hits + a.misses
         return a.hits / total if total else 0.0

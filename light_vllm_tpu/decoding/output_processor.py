@@ -88,19 +88,26 @@ class DecodingOutputProcessor(OutputProcessor):
         outputs: List[RequestOutput] = []
         metas = scheduler_output.seq_group_metadata_list
         if metas:
-            tokens, chosen_lp, _, _ = execute_output.pythonize()
-            for sched, meta, slots in zip(
+            tokens, chosen_lp, topk_lp, topk_ids = execute_output.pythonize()
+            for sched, meta, slots, chunks in zip(
                     scheduler_output.scheduled_seq_groups, metas,
-                    scheduler_output.sample_slots):
+                    scheduler_output.sample_slots,
+                    scheduler_output.sample_chunks):
                 g = sched.seq_group
-                for seq_id, slot in zip(meta.seq_data, slots):
+                for seq_id, slot, chunk in zip(meta.seq_data, slots, chunks):
                     seq = g.seqs_dict[seq_id]
                     token = int(tokens[slot])
                     lp = float(chosen_lp[slot]) if chosen_lp is not None \
                         else 0.0
-                    # advance computed-token count by this chunk
-                    seq.data.update_num_computed_tokens(
-                        sched.token_chunk_size)
+                    if (topk_lp is not None and meta.do_sample
+                            and meta.sampling_params.logprobs):
+                        k = meta.sampling_params.logprobs
+                        d = {int(t): float(p) for t, p in
+                             zip(topk_ids[slot][:k], topk_lp[slot][:k])}
+                        d.setdefault(token, lp)
+                        seq.logprobs.append(d)
+                    # advance computed-token count by this seq's chunk
+                    seq.data.update_num_computed_tokens(chunk)
                     if not meta.do_sample:
                         continue  # non-final prefill chunk: no token
                     g.metrics.on_token()

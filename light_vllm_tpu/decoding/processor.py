@@ -65,14 +65,19 @@ class DecodingRequestProcessor(RequestProcessor):
         if not inputs.prompt_token_ids:
             inputs.prompt_token_ids = self.tokenizer.encode(inputs.prompt)
         params = request.params or SamplingParams()
-        if params.n != 1:
-            raise NotImplementedError(
-                "n>1 sampling lands with sequence forking; use n=1")
+        if params.best_of != params.n:
+            raise NotImplementedError("best_of != n is not supported")
         eos = self.tokenizer.eos_token_id
-        seq = Sequence(next(self.seq_counter), inputs.prompt_token_ids,
-                       self.block_size, eos_token_id=eos,
-                       prompt=inputs.prompt)
-        return SequenceGroup(request_id=request.request_id, seqs=[seq],
+        # n > 1: n sibling sequences share the prompt's physical blocks; the
+        # scheduler prefills the prompt once (siblings start with all but
+        # the last position computed) and CoW splits them as they diverge
+        # (reference: fork/append semantics, decoding/scheduler.py +
+        # block_manager_v1.py).
+        seqs = [Sequence(next(self.seq_counter), inputs.prompt_token_ids,
+                         self.block_size, eos_token_id=eos,
+                         prompt=inputs.prompt)
+                for _ in range(params.n)]
+        return SequenceGroup(request_id=request.request_id, seqs=seqs,
                              sampling_params=params,
                              arrival_time=request.arrival_time,
                              metrics=request.metrics)
@@ -109,7 +114,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         meta_row_refs: List[List[dict]] = []
         for meta in metas:
             refs = []
-            for seq_id, data in meta.seq_data.items():
+            for branch, (seq_id, data) in enumerate(meta.seq_data.items()):
                 n_computed = data.get_num_computed_tokens()
                 chunk = meta.token_chunk_size if meta.is_prompt else 1
                 new_ids = data.get_token_ids()[n_computed:n_computed + chunk]
@@ -121,6 +126,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
                     "block_table": meta.block_tables[seq_id],
                     "meta": meta,
                     "data": data,
+                    "branch": branch,
                 }
                 (prefill_rows if len(new_ids) > 1 or meta.is_prompt
                  else decode_rows).append(row)
@@ -195,14 +201,19 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             tile_seq[i] = s
             tile_qstart[i] = qs
 
-        # slot map for the output processor, in meta iteration order
+        # slot + chunk maps for the output processor, in meta iteration order
         scheduler_output.sample_slots = [
             [row["slot"] for row in refs] for refs in meta_row_refs]
+        scheduler_output.sample_chunks = [
+            [row["query_len"] for row in refs] for refs in meta_row_refs]
 
         sampling = self._build_sampling(all_rows, S,
                                         slot_of=lambda r: r["slot"])
+        num_logprobs = max(
+            [r["meta"].sampling_params.logprobs or 0 for r in all_rows] + [0])
 
         model_input = DecodingModelInput(
+            num_logprobs=num_logprobs,
             input_ids=input_ids, positions=pos_arr, slot_mapping=slot_arr,
             seq_ids=seq_ids, block_tables=block_tables, seq_lens=seq_lens,
             ctx_lens=ctx_lens, chunk_starts=chunk_starts,
@@ -228,16 +239,21 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         frequency = np.zeros(S, dtype=np.float32)
         repetition = np.ones(S, dtype=np.float32)
         seeds = np.zeros(S, dtype=np.uint32)
-        max_out = max([len(r["data"].output_token_ids)
-                       for r in seq_rows] + [1])
-        max_out = next_power_of_2(max_out)
-        # output-token matrix for penalty computation; vocab_size = "none"
-        out_tokens = np.full((S, max_out), self.vocab_size, dtype=np.int32)
         needs_prompt = any(
             r["meta"].sampling_params.presence_penalty != 0
             or r["meta"].sampling_params.frequency_penalty != 0
             or r["meta"].sampling_params.repetition_penalty != 1.0
             for r in seq_rows)
+        if needs_prompt:
+            max_out = max([len(r["data"].output_token_ids)
+                           for r in seq_rows] + [1])
+            max_out = next_power_of_2(max_out)
+        else:
+            # No penalties anywhere in the batch: keep the matrix a fixed
+            # [S, 1] so output growth never changes the jit cache key.
+            max_out = 1
+        # output-token matrix for penalty computation; vocab_size = "none"
+        out_tokens = np.full((S, max_out), self.vocab_size, dtype=np.int32)
         prompt_tokens = None
         if needs_prompt:
             max_in = next_power_of_2(max(
@@ -256,13 +272,16 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             frequency[i] = sp.frequency_penalty
             repetition[i] = sp.repetition_penalty
             if sp.seed is not None:
-                # per-step deterministic stream: seed + step index
-                seeds[i] = (sp.seed + 0x9E3779B9
-                            * len(row["data"].output_token_ids)) & 0xFFFFFFFF
+                # deterministic stream: (seed, step index, branch) so n>1
+                # branches with the same seed still diverge
+                seeds[i] = (sp.seed
+                            + 0x9E3779B9 * len(row["data"].output_token_ids)
+                            + 0x85EBCA6B * row.get("branch", 0)) & 0xFFFFFFFF
             else:
                 seeds[i] = rng.integers(0, 2**32, dtype=np.uint32)
-            outs = row["data"].output_token_ids
-            out_tokens[i, :len(outs)] = outs[:max_out]
+            outs = row["data"].output_token_ids[:max_out] if needs_prompt \
+                else []
+            out_tokens[i, :len(outs)] = outs
             if prompt_tokens is not None:
                 ins = row["data"].prompt_token_ids
                 prompt_tokens[i, :len(ins)] = ins[:prompt_tokens.shape[1]]

@@ -199,13 +199,21 @@ class DecodingScheduler(Scheduler):
                     running.append(seq_group)
                     continue
             else:
+                # n>1: the prompt's prefill just completed on the lead
+                # sequence; activate siblings so each recomputes the last
+                # prompt position as a decode row and samples its own
+                # first token (prompt KV is shared via the block tables).
+                for sib in seq_group.get_seqs(SequenceStatus.RUNNING)[1:]:
+                    if (sib.data.stage.name == "PREFILL"
+                            and sib.data.get_num_computed_tokens() == 0):
+                        sib.data.update_num_computed_tokens(
+                            sib.get_len() - 1)
                 num_seqs = seq_group.num_seqs(SequenceStatus.RUNNING)
                 num_new = num_seqs
                 if not budget.can_schedule(num_new_tokens=num_new,
                                            num_new_seqs=0):
                     running.append(seq_group)
                     continue
-
             # Ensure pages for the new tokens; preempt victims if needed.
             preempted_self = False
             can_append = (not self._artificial_preempt_hit()
@@ -353,13 +361,18 @@ class DecodingScheduler(Scheduler):
             g = sched.seq_group
             g.busy = True
             now_busy.append(g)
+            is_prompt = g.is_prefill()
+            running_seqs = g.get_seqs(SequenceStatus.RUNNING)
+            if is_prompt:
+                # n>1 siblings wait until the lead sequence's prompt KV is
+                # complete (activated in _schedule_running).
+                running_seqs = running_seqs[:1]
             block_tables = {}
             seq_data = {}
-            for seq in g.get_seqs(SequenceStatus.RUNNING):
+            for seq in running_seqs:
                 block_tables[seq.seq_id] = \
                     self.block_manager.get_block_table(seq)
                 seq_data[seq.seq_id] = seq.data
-            is_prompt = g.is_prefill()
             # Sampling happens only on the final chunk of a prompt
             # (reference: scheduler.py:891-903).
             do_sample = True

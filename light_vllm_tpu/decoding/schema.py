@@ -256,9 +256,11 @@ class DecodingSchedulerOutput(SchedulerOutput):
     # not re-walk sequence state (metadata snapshot).
     seq_group_metadata_list: List["SequenceGroupMetadata"] = field(
         default_factory=list)
-    # Filled by the input builder: seq slot of each (meta, seq) in iteration
-    # order, so the output processor can map sampled tokens back.
+    # Filled by the input builder: seq slot and per-seq token chunk of each
+    # (meta, seq) in iteration order, so the output processor can map
+    # sampled tokens back and advance computed counts per sequence.
     sample_slots: List[List[int]] = field(default_factory=list)
+    sample_chunks: List[List[int]] = field(default_factory=list)
 
     def is_empty(self) -> bool:
         return (not self.scheduled_seq_groups
@@ -318,6 +320,7 @@ class DecodingModelInput(ModelInput):
     num_decode_tokens: int = 0       # real decode tokens
     decode_region: int = 0           # padded decode region (kernel slice)
     num_prefill_seqs: int = 0
+    num_logprobs: int = 0            # max logprobs requested in this batch
     sampling: Optional["SamplingTensors"] = None
 
 

@@ -192,7 +192,7 @@ class DecodingModelRunner:
             or np.any(s.repetition_penalty != 1.0))
         use_topkp = bool(np.any(s.top_k > 0) or np.any(s.top_p < 1.0)
                          or np.any(s.min_p > 0))
-        num_logprobs = 0  # per-batch logprob gather added via metadata later
+        num_logprobs = model_input.num_logprobs
         key = (use_penalties, use_topkp, num_logprobs,
                s.prompt_tokens is not None, model_input.decode_region,
                min(model_input.num_prefill_seqs, 1))
