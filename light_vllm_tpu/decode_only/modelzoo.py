@@ -10,4 +10,7 @@ DECODE_ONLY_MODELS = {
     "MistralForCausalLM": (
         "light_vllm_tpu.models.llama:LlamaForCausalLM",
         "light_vllm_tpu.decode_only.workflow:DecodeOnlyWorkflow"),
+    "MixtralForCausalLM": (
+        "light_vllm_tpu.models.mixtral:MixtralForCausalLM",
+        "light_vllm_tpu.decode_only.workflow:DecodeOnlyWorkflow"),
 }

@@ -207,21 +207,37 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         scheduler_output.sample_chunks = [
             [row["query_len"] for row in refs] for refs in meta_row_refs]
 
-        sampling = self._build_sampling(all_rows, S,
-                                        slot_of=lambda r: r["slot"])
+        (seq_f32, top_k_arr, seeds, out_tokens, prompt_tokens, use_penalties,
+         use_topkp) = self._build_sampling(all_rows, S)
         num_logprobs = max(
             [r["meta"].sampling_params.logprobs or 0 for r in all_rows] + [0])
 
+        tok_i32 = np.stack([input_ids, pos_arr, slot_arr, seq_ids])
+        seq_i32 = np.stack([seq_lens, ctx_lens, chunk_starts, chunk_lens,
+                            logits_idx, top_k_arr,
+                            seeds.view(np.int32)])
+        tiles = np.stack([tile_seq, tile_qstart])
+
+        # One flat i32 blob = one host→device transfer per step (transfer
+        # *latency*, not bandwidth, dominates these small buffers).
+        parts = [tok_i32.ravel(), seq_i32.ravel(),
+                 seq_f32.astype(np.float32).view(np.int32).ravel(),
+                 tiles.ravel(), block_tables.ravel(), out_tokens.ravel()]
+        if prompt_tokens is not None:
+            parts.append(prompt_tokens.ravel())
+        blob = np.concatenate(parts)
+
         model_input = DecodingModelInput(
-            num_logprobs=num_logprobs,
-            input_ids=input_ids, positions=pos_arr, slot_mapping=slot_arr,
-            seq_ids=seq_ids, block_tables=block_tables, seq_lens=seq_lens,
-            ctx_lens=ctx_lens, chunk_starts=chunk_starts,
-            chunk_lens=chunk_lens, tile_seq=tile_seq,
-            tile_qstart=tile_qstart, logits_indices=logits_idx,
-            num_seqs=np.array(S_real, dtype=np.int32),
-            num_decode_tokens=D_real, decode_region=decode_region,
-            num_prefill_seqs=n_prefill, sampling=sampling)
+            blob=blob,
+            T=T, S=S, NT=NT, P=self.max_pages,
+            max_out=out_tokens.shape[1],
+            has_prompt_tokens=prompt_tokens is not None,
+            prompt_len=0 if prompt_tokens is None
+            else prompt_tokens.shape[1],
+            num_seqs=S_real, num_decode_tokens=D_real,
+            decode_region=decode_region, num_prefill_seqs=n_prefill,
+            num_logprobs=num_logprobs, use_penalties=use_penalties,
+            use_topkp=use_topkp)
         worker_input = DecodingWorkerInput(
             blocks_to_swap_in=scheduler_output.blocks_to_swap_in,
             blocks_to_swap_out=scheduler_output.blocks_to_swap_out,
@@ -229,8 +245,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         return ExecuteInput(worker_input=worker_input,
                             model_input=model_input)
 
-    def _build_sampling(self, seq_rows: List[dict], S: int, *,
-                        slot_of=None) -> SamplingTensors:
+    def _build_sampling(self, seq_rows: List[dict], S: int):
         temperature = np.zeros(S, dtype=np.float32)
         top_p = np.ones(S, dtype=np.float32)
         top_k = np.zeros(S, dtype=np.int32)
@@ -261,8 +276,8 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             prompt_tokens = np.full((S, max_in), self.vocab_size,
                                     dtype=np.int32)
         rng = np.random.default_rng()
-        for idx, row in enumerate(seq_rows):
-            i = slot_of(row) if slot_of is not None else idx
+        for row in seq_rows:
+            i = row["slot"]
             sp: SamplingParams = row["meta"].sampling_params
             temperature[i] = sp.temperature
             top_p[i] = sp.top_p
@@ -285,8 +300,10 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             if prompt_tokens is not None:
                 ins = row["data"].prompt_token_ids
                 prompt_tokens[i, :len(ins)] = ins[:prompt_tokens.shape[1]]
-        return SamplingTensors(
-            temperature=temperature, top_p=top_p, top_k=top_k, min_p=min_p,
-            presence_penalty=presence, frequency_penalty=frequency,
-            repetition_penalty=repetition, output_tokens=out_tokens,
-            prompt_tokens=prompt_tokens, seeds=seeds)
+        use_penalties = needs_prompt
+        use_topkp = bool(np.any(top_k > 0) or np.any(top_p < 1.0)
+                         or np.any(min_p > 0))
+        seq_f32 = np.stack([temperature, top_p, min_p, presence, frequency,
+                            repetition])
+        return (seq_f32, top_k, seeds, out_tokens, prompt_tokens,
+                use_penalties, use_topkp)

@@ -301,27 +301,36 @@ class DecodingModelInput(ModelInput):
 
     Shapes: tokens T (bucketed), seqs S (bucketed pow2), pages =
     max_model_len/page_size, NT prefill tiles (bucketed).
+
+    Small per-step arrays are PACKED into three matrices so one engine step
+    costs a handful of host→device transfers instead of ~17 (transfer
+    latency, not bandwidth, dominates small buffers):
+
+      tok_i32 [4, T]: input_ids, positions, slot_mapping, seq_ids
+      seq_i32 [7, S]: seq_lens, ctx_lens, chunk_starts, chunk_lens,
+                      logits_indices, top_k, seeds(int32-bitcast)
+      seq_f32 [6, S]: temperature, top_p, min_p, presence, frequency,
+                      repetition
+      tiles   [2, NT]: tile_seq, tile_qstart
     """
 
-    input_ids: np.ndarray = None     # [T]
-    positions: np.ndarray = None     # [T]
-    slot_mapping: np.ndarray = None  # [T]
-    seq_ids: np.ndarray = None       # [T] token → seq slot
-    block_tables: np.ndarray = None  # [S, pages]
-    seq_lens: np.ndarray = None      # [S] total kv len after this step
-    ctx_lens: np.ndarray = None      # [S] kv len before this step's chunk
-    chunk_starts: np.ndarray = None  # [S] flat row where seq's chunk starts
-    chunk_lens: np.ndarray = None    # [S] tokens of seq in this step
-    tile_seq: np.ndarray = None      # [NT] prefill tile → seq slot (-1 skip)
-    tile_qstart: np.ndarray = None   # [NT] prefill tile → flat row
-    logits_indices: np.ndarray = None  # [S] last-token row per seq slot
-    num_seqs: np.ndarray = None      # [] real seq count
-    # static (host) ints — part of the jit cache key, not traced:
+    blob: np.ndarray = None          # [total] i32 — ALL of the above packed
+    # static dims for unpacking (part of the jit cache key):
+    T: int = 0
+    S: int = 0
+    NT: int = 0
+    P: int = 0                       # max pages per seq
+    max_out: int = 0
+    has_prompt_tokens: bool = False
+    prompt_len: int = 0
+    # host-only metadata (not transferred):
+    num_seqs: int = 0
     num_decode_tokens: int = 0       # real decode tokens
     decode_region: int = 0           # padded decode region (kernel slice)
     num_prefill_seqs: int = 0
     num_logprobs: int = 0            # max logprobs requested in this batch
-    sampling: Optional["SamplingTensors"] = None
+    use_penalties: bool = False
+    use_topkp: bool = False
 
 
 @dataclass
@@ -358,19 +367,25 @@ class DecodingWorkerInput(WorkerInput):
 
 @dataclass
 class DecodingExecuteOutput(ExecuteOutput):
-    """Device arrays: sampled token per seq slot + optional logprobs."""
+    """Device arrays: sampled tokens packed with chosen logprobs as one
+    [2, S] i32 buffer (row 1 is bitcast f32) + optional top-k logprobs."""
 
-    next_tokens: Any = None        # [S] i32 on device
+    next_tokens: Any = None        # [2, S] i32 packed, or [S] i32
     logprobs: Any = None           # [S, k] f32 (optional)
     logprob_token_ids: Any = None  # [S, k] i32 (optional)
-    chosen_logprobs: Any = None    # [S] f32 logprob of sampled token
+    chosen_logprobs: Any = None    # [S] f32 (when not packed)
 
     def pythonize(self):
         import numpy as np
 
-        tokens = np.asarray(self.next_tokens)
-        chosen = np.asarray(self.chosen_logprobs) \
-            if self.chosen_logprobs is not None else None
+        raw = np.asarray(self.next_tokens)
+        if raw.ndim == 2:
+            tokens = raw[0]
+            chosen = raw[1].view(np.float32)
+        else:
+            tokens = raw
+            chosen = np.asarray(self.chosen_logprobs) \
+                if self.chosen_logprobs is not None else None
         lp = np.asarray(self.logprobs) if self.logprobs is not None else None
         lp_ids = np.asarray(self.logprob_token_ids) \
             if self.logprob_token_ids is not None else None

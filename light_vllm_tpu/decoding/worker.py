@@ -154,20 +154,48 @@ class DecodingModelRunner:
 
     def _make_step_fn(self, use_penalties: bool, use_topkp: bool,
                       num_logprobs: int, has_prompt_tokens: bool,
-                      decode_region: int, num_prefill_seqs: int):
+                      decode_region: int, num_prefill_seqs: int,
+                      T: int, S: int, NT: int, P: int, max_out: int,
+                      prompt_len: int):
         model = self.model
 
-        def step(params, kv_caches, input_ids, positions, slot_mapping,
-                 seq_ids, block_tables, seq_lens, ctx_lens, chunk_starts,
-                 chunk_lens, tile_seq, tile_qstart, logits_indices,
-                 num_seqs, temperature, top_p, top_k, min_p, presence,
-                 frequency, repetition, output_tokens, prompt_tokens, seeds):
+        def step(params, kv_caches, blob):
+            # Unpack the single transferred blob with static slices (free on
+            # device — pure views of the resident buffer).
+            off = 0
+
+            def take(n, shape):
+                nonlocal off
+                part = jax.lax.dynamic_slice_in_dim(blob, off, n)
+                off += n
+                return part.reshape(shape)
+
+            tok_i32 = take(4 * T, (4, T))
+            seq_i32 = take(7 * S, (7, S))
+            seq_f32 = jax.lax.bitcast_convert_type(
+                take(6 * S, (6, S)), jnp.float32)
+            tiles = take(2 * NT, (2, NT))
+            block_tables = take(S * P, (S, P))
+            output_tokens = take(S * max_out, (S, max_out))
+            prompt_tokens = take(S * prompt_len, (S, prompt_len)) \
+                if has_prompt_tokens else None
+
+            input_ids, positions, slot_mapping, seq_ids = (
+                tok_i32[0], tok_i32[1], tok_i32[2], tok_i32[3])
+            (seq_lens, ctx_lens, chunk_starts, chunk_lens, logits_indices,
+             top_k, seeds_i) = (seq_i32[0], seq_i32[1], seq_i32[2],
+                                seq_i32[3], seq_i32[4], seq_i32[5],
+                                seq_i32[6])
+            (temperature, top_p, min_p, presence, frequency,
+             repetition) = (seq_f32[0], seq_f32[1], seq_f32[2], seq_f32[3],
+                            seq_f32[4], seq_f32[5])
+            seeds = jax.lax.bitcast_convert_type(seeds_i, jnp.uint32)
             meta = DecodeAttnMetadata(
                 slot_mapping=slot_mapping, block_tables=block_tables,
                 seq_lens=seq_lens, seq_ids=seq_ids, positions=positions,
                 ctx_lens=ctx_lens, chunk_starts=chunk_starts,
-                chunk_lens=chunk_lens, tile_seq=tile_seq,
-                tile_qstart=tile_qstart, num_seqs=num_seqs,
+                chunk_lens=chunk_lens, tile_seq=tiles[0],
+                tile_qstart=tiles[1],
                 num_decode_tokens=decode_region,
                 decode_region=decode_region,
                 num_prefill_seqs=num_prefill_seqs)
@@ -179,39 +207,31 @@ class DecodingModelRunner:
                 frequency, repetition, output_tokens, prompt_tokens, seeds,
                 use_penalties=use_penalties, use_topkp=use_topkp,
                 num_logprobs=num_logprobs)
-            return (res.next_tokens, res.chosen_logprobs, res.topk_logprobs,
-                    res.topk_ids, kv_caches)
+            # Pack the hot outputs into one [2, S] i32 buffer → one
+            # device→host transfer at the sync point.
+            packed = jnp.stack([
+                res.next_tokens,
+                jax.lax.bitcast_convert_type(res.chosen_logprobs,
+                                             jnp.int32)])
+            return (packed, res.topk_logprobs, res.topk_ids, kv_caches)
 
         return jax.jit(step, donate_argnums=(1,))
 
     def execute(self, model_input: DecodingModelInput, kv_caches):
-        s = model_input.sampling
-        use_penalties = bool(
-            np.any(s.presence_penalty != 0)
-            or np.any(s.frequency_penalty != 0)
-            or np.any(s.repetition_penalty != 1.0))
-        use_topkp = bool(np.any(s.top_k > 0) or np.any(s.top_p < 1.0)
-                         or np.any(s.min_p > 0))
-        num_logprobs = model_input.num_logprobs
-        key = (use_penalties, use_topkp, num_logprobs,
-               s.prompt_tokens is not None, model_input.decode_region,
-               min(model_input.num_prefill_seqs, 1))
+        key = (model_input.use_penalties, model_input.use_topkp,
+               model_input.num_logprobs,
+               model_input.has_prompt_tokens,
+               model_input.decode_region,
+               min(model_input.num_prefill_seqs, 1),
+               model_input.T, model_input.S, model_input.NT,
+               model_input.P, model_input.max_out, model_input.prompt_len)
         if key not in self._step_cache:
             self._step_cache[key] = self._make_step_fn(*key)
         step_fn = self._step_cache[key]
-        (next_tokens, chosen_lp, topk_lp, topk_ids, kv_caches) = step_fn(
-            self.params, kv_caches, model_input.input_ids,
-            model_input.positions, model_input.slot_mapping,
-            model_input.seq_ids, model_input.block_tables,
-            model_input.seq_lens, model_input.ctx_lens,
-            model_input.chunk_starts, model_input.chunk_lens,
-            model_input.tile_seq, model_input.tile_qstart,
-            model_input.logits_indices, model_input.num_seqs,
-            s.temperature, s.top_p, s.top_k, s.min_p,
-            s.presence_penalty, s.frequency_penalty, s.repetition_penalty,
-            s.output_tokens, s.prompt_tokens, s.seeds)
+        (packed, topk_lp, topk_ids, kv_caches) = step_fn(
+            self.params, kv_caches, model_input.blob)
         out = DecodingExecuteOutput(
-            next_tokens=next_tokens, chosen_logprobs=chosen_lp,
+            next_tokens=packed, chosen_logprobs=None,
             logprobs=topk_lp, logprob_token_ids=topk_ids)
         return out, kv_caches
 

@@ -1,0 +1,73 @@
+"""Fused Mixture-of-Experts layer (reference:
+light_vllm/backends/fused_moe/layer.py:123 + fused_moe.py Triton kernel).
+
+Routing: per-token top-k softmax over the router logits (reference:
+csrc/moe/topk_softmax). Expert compute: this round ships the exact
+masked-dense formulation — every expert runs on every token and results are
+combined with the (sparse) routing weights. That is exact (no capacity
+dropping) and jit-friendly (static shapes), at the cost of E/topk extra
+FLOPs; the Pallas grouped-matmul (megablocks-style) kernel replaces it next.
+Expert weights are stacked [E, ...] and shard over the "tp" axis on the
+expert dimension → expert parallelism falls out of GSPMD.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from light_vllm_tpu.layers.activation import silu_and_mul
+from light_vllm_tpu.layers.base import Layer, ParamSpec, Params
+
+
+def topk_softmax(router_logits: jnp.ndarray, top_k: int,
+                 renormalize: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[T, E] → (weights [T, k], ids [T, k])."""
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    weights, ids = jax.lax.top_k(probs, top_k)
+    if renormalize:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return weights, ids.astype(jnp.int32)
+
+
+class FusedMoE(Layer):
+
+    def __init__(self, num_experts: int, top_k: int, hidden_size: int,
+                 intermediate_size: int, *, dtype=jnp.bfloat16,
+                 renormalize: bool = True, ep_axis: Optional[str] = None
+                 ) -> None:
+        super().__init__()
+        self.num_experts = num_experts
+        self.top_k = top_k
+        self.hidden_size = hidden_size
+        self.intermediate_size = intermediate_size
+        self.renormalize = renormalize
+        E, H, I = num_experts, hidden_size, intermediate_size
+        self._specs = {
+            "router": ParamSpec((H, E), dtype, P()),
+            # w13: fused gate+up per expert; w2: down projection
+            "w13": ParamSpec((E, H, 2 * I), dtype, P(ep_axis)),
+            "w2": ParamSpec((E, I, H), dtype, P(ep_axis)),
+        }
+
+    def __call__(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """x [T, H] → [T, H]."""
+        T, H = x.shape
+        E, k = self.num_experts, self.top_k
+        router_logits = jnp.dot(x, params["router"],
+                                preferred_element_type=jnp.float32)
+        weights, ids = topk_softmax(router_logits, k, self.renormalize)
+        # sparse [T, E] combine matrix
+        combine = jnp.zeros((T, E), jnp.float32)
+        combine = combine.at[jnp.arange(T)[:, None], ids].add(weights)
+
+        # masked-dense expert compute: h_e = silu_and_mul(x @ w13_e) @ w2_e
+        h = jnp.einsum("th,ehi->eti", x, params["w13"],
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        h = silu_and_mul(h)
+        y = jnp.einsum("eti,eih->eth", h, params["w2"],
+                       preferred_element_type=jnp.float32)  # [E, T, H] f32
+        out = jnp.einsum("te,eth->th", combine, y)
+        return out.astype(x.dtype)
