@@ -50,6 +50,7 @@ def build_llm(max_num_seqs: int, enable_chunked_prefill: bool):
                max_model_len=2048, block_size=16,
                max_num_seqs=max_num_seqs,
                enable_chunked_prefill=enable_chunked_prefill,
+               num_scheduler_steps=8,
                swap_space=1.0)
 
 

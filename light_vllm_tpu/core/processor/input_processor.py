@@ -15,19 +15,35 @@ from light_vllm_tpu.core.schema.engine_io import (Params, PromptType, Request,
                                                   ValidationError)
 
 
+def _validate_token_ids(token_ids) -> list:
+    """Coerce to List[int] at add_request time: a malformed id list must
+    fail HERE, not inside a scheduled step (which would strand the request
+    in the scheduler and hang subsequent generate() calls)."""
+    if isinstance(token_ids, (str, bytes)):
+        raise ValidationError(
+            f"prompt_token_ids must be a sequence of ints, "
+            f"got {type(token_ids).__name__}")
+    try:
+        return [int(t) for t in token_ids]
+    except (TypeError, ValueError) as e:
+        raise ValidationError(f"invalid prompt_token_ids: {e}") from e
+
+
 def normalize_prompt(prompt: PromptType) -> TextOnlyInputs:
     if isinstance(prompt, str):
         return TextOnlyInputs(prompt=prompt)
     if isinstance(prompt, TextPrompt):
         return TextOnlyInputs(prompt=prompt.prompt)
     if isinstance(prompt, TokensPrompt):
-        return TextOnlyInputs(prompt_token_ids=list(prompt.prompt_token_ids))
+        return TextOnlyInputs(
+            prompt_token_ids=_validate_token_ids(prompt.prompt_token_ids))
     if isinstance(prompt, TextOnlyInputs):
         return prompt
     if isinstance(prompt, dict):
         if "prompt_token_ids" in prompt:
             return TextOnlyInputs(
-                prompt_token_ids=list(prompt["prompt_token_ids"]),
+                prompt_token_ids=_validate_token_ids(
+                    prompt["prompt_token_ids"]),
                 prompt=prompt.get("prompt"))
         if "prompt" in prompt:
             return TextOnlyInputs(prompt=prompt["prompt"])

@@ -26,6 +26,7 @@ class DecodingEngineArgs(EngineArgs):
     preemption_mode: Optional[str] = None
     scheduling: str = "sync"
     max_num_on_the_fly: Optional[int] = None
+    num_scheduler_steps: int = 1
     # rope overrides
     rope_scaling: Optional[dict] = None
     rope_theta: Optional[float] = None
@@ -53,7 +54,8 @@ class DecodingEngineArgs(EngineArgs):
             enable_chunked_prefill=self.enable_chunked_prefill,
             preemption_mode=self.preemption_mode,
             scheduling=self.scheduling,
-            max_num_on_the_fly=self.max_num_on_the_fly)
+            max_num_on_the_fly=self.max_num_on_the_fly,
+            num_scheduler_steps=self.num_scheduler_steps)
         return DecodingEngineConfig(
             model_config=model_config,
             cache_config=cache_config,

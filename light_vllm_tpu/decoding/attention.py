@@ -69,25 +69,25 @@ class PagedAttnBackend:
 
     # --- cache contract -----------------------------------------------------
     def kv_cache_shape(self, num_blocks: int) -> Tuple[int, ...]:
-        """[kvh, num_slots, head_dim]; axis 0 shards over "tp"."""
-        return (self.num_kv_heads, num_blocks * self.block_size,
+        """[num_slots, 2*kvh, head_dim] (K rows | V rows); axis 1 shards
+        over "tp"."""
+        return (num_blocks * self.block_size, 2 * self.num_kv_heads,
                 self.head_dim)
 
-    def new_kv_cache(self, num_blocks: int, dtype) -> Tuple[Any, Any]:
-        shape = self.kv_cache_shape(num_blocks)
+    def new_kv_cache(self, num_blocks: int, dtype):
         dt = self.cache_dtype or dtype
-        return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
+        return jnp.zeros(self.kv_cache_shape(num_blocks), dt)
 
     # --- ops ------------------------------------------------------------------
-    def write_kv(self, k_pages, v_pages, k, v, slot_mapping):
-        return write_kv_to_pages(k_pages, v_pages, k, v, slot_mapping)
+    def write_kv(self, kv_pages, k, v, slot_mapping):
+        return write_kv_to_pages(kv_pages, k, v, slot_mapping)
 
-    def attention(self, q, k_pages, v_pages, meta: DecodeAttnMetadata, *,
+    def attention(self, q, kv_pages, meta: DecodeAttnMetadata, *,
                   scale: float, sliding_window: Optional[int] = None,
                   logits_soft_cap: Optional[float] = None):
         """q: [T, h, d] → [T, h, d]."""
         return ragged_paged_attention_ref(
-            q, k_pages.astype(q.dtype), v_pages.astype(q.dtype),
+            q, kv_pages.astype(q.dtype),
             meta.block_tables, meta.seq_lens, meta.seq_ids, meta.positions,
             self.block_size, scale=scale, sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap)
@@ -96,7 +96,7 @@ class PagedAttnBackend:
 class PallasPagedAttnBackend(PagedAttnBackend):
     name = "pallas"
 
-    def attention(self, q, k_pages, v_pages, meta: DecodeAttnMetadata, *,
+    def attention(self, q, kv_pages, meta: DecodeAttnMetadata, *,
                   scale: float, sliding_window: Optional[int] = None,
                   logits_soft_cap: Optional[float] = None):
         if (sliding_window is not None or logits_soft_cap is not None
@@ -104,7 +104,7 @@ class PallasPagedAttnBackend(PagedAttnBackend):
             # Kernel support lands later (sliding window / soft cap /
             # sub-128 head dims); the jnp path is correct.
             return super().attention(
-                q, k_pages, v_pages, meta, scale=scale,
+                q, kv_pages, meta, scale=scale,
                 sliding_window=sliding_window,
                 logits_soft_cap=logits_soft_cap)
 
@@ -119,12 +119,12 @@ class PallasPagedAttnBackend(PagedAttnBackend):
         out_parts = []
         if D > 0:
             out_d = paged_attention_decode(
-                q[:D], k_pages, v_pages, meta.block_tables[:D],
+                q[:D], kv_pages, meta.block_tables[:D],
                 meta.seq_lens[:D], page_size=self.block_size, scale=scale)
             out_parts.append(out_d)
         if meta.num_prefill_seqs > 0:
             out_p = prefill_paged_attention(
-                q, k_pages, v_pages, meta.tile_seq, meta.tile_qstart,
+                q, kv_pages, meta.tile_seq, meta.tile_qstart,
                 meta.block_tables, meta.seq_lens, meta.ctx_lens,
                 meta.chunk_starts, page_size=self.block_size, scale=scale)
             out_parts.append(out_p[D:])
@@ -165,18 +165,16 @@ class Attention:
         self.logits_soft_cap = logits_soft_cap
 
     def __call__(self, q, k, v, kv_cache, meta: DecodeAttnMetadata):
-        """q [T, h*d], k/v [T, kvh*d]; kv_cache (k_pages, v_pages).
+        """q [T, h*d], k/v [T, kvh*d]; kv_cache [slots, 2*kvh, d].
         Returns (out [T, h*d], new_kv_cache)."""
         T = q.shape[0]
         qh = q.reshape(T, self.num_heads, self.head_dim)
         kh = k.reshape(T, self.num_kv_heads, self.head_dim)
         vh = v.reshape(T, self.num_kv_heads, self.head_dim)
-        k_pages, v_pages = kv_cache
-        k_pages, v_pages = self.backend.write_kv(k_pages, v_pages, kh, vh,
-                                                 meta.slot_mapping)
+        kv_cache = self.backend.write_kv(kv_cache, kh, vh,
+                                         meta.slot_mapping)
         out = self.backend.attention(
-            qh, k_pages, v_pages, meta, scale=self.scale,
+            qh, kv_cache, meta, scale=self.scale,
             sliding_window=self.sliding_window,
             logits_soft_cap=self.logits_soft_cap)
-        return out.reshape(T, self.num_heads * self.head_dim), \
-            (k_pages, v_pages)
+        return out.reshape(T, self.num_heads * self.head_dim), kv_cache

@@ -328,15 +328,19 @@ class BlockSpaceManager:
     def can_append_slots(self, seq_group: SequenceGroup,
                          num_lookahead_slots: int = 0) -> bool:
         num_seqs = seq_group.num_seqs(SequenceStatus.RUNNING)
+        blocks_per_seq = 1 + num_lookahead_slots // self.block_size
         free = self.device_allocator.get_num_free_blocks()
-        return num_seqs <= free
+        return num_seqs * blocks_per_seq <= free
 
-    def append_slots(self, seq: Sequence) -> List[Tuple[int, int]]:
-        """Ensure the table covers the sequence; returns CoW (src, dst)
-        pairs (reference: block_manager_v1.py append_slots:428)."""
+    def append_slots(self, seq: Sequence,
+                     num_lookahead_slots: int = 0) -> List[Tuple[int, int]]:
+        """Ensure the table covers the sequence (+lookahead tokens for
+        multi-step decode); returns CoW (src, dst) pairs (reference:
+        block_manager_v1.py append_slots:428)."""
         bt = self.block_tables[seq.seq_id]
         cows: List[Tuple[int, int]] = []
-        needed = seq.num_logical_blocks()
+        needed = -(-(seq.get_len() + num_lookahead_slots)
+                   // self.block_size)
         if self.sliding_window is not None:
             window_blocks = self.sliding_window // self.block_size + 1
             if len(bt.blocks) >= window_blocks and needed > len(bt.blocks):

@@ -25,6 +25,12 @@ class DecodingSchedulerConfig(SchedulerConfig):
     preemption_mode: Optional[str] = None  # "recompute" | "swap" | None=auto
     scheduling: str = "sync"
     max_num_on_the_fly: Optional[int] = None
+    # Multi-step decode: run up to K decode iterations inside one device
+    # dispatch (lax.scan feeding sampled tokens device-side) — the TPU
+    # analog of the reference's advance_step multi-step path (reference:
+    # csrc/prepare_inputs/advance_step.cu). Amortizes per-step host and
+    # interconnect latency by K.
+    num_scheduler_steps: int = 1
 
     def __post_init__(self):
         if self.max_num_batched_tokens is None:

@@ -88,7 +88,16 @@ class DecodingOutputProcessor(OutputProcessor):
         outputs: List[RequestOutput] = []
         metas = scheduler_output.seq_group_metadata_list
         if metas:
-            tokens, chosen_lp, topk_lp, topk_ids = execute_output.pythonize()
+            raw = np.asarray(execute_output.next_tokens)
+            topk_lp = topk_ids = None
+            if raw.ndim == 3:
+                # multi-step ring [K, 2, S]
+                sub_steps = [(raw[t, 0], raw[t, 1].view(np.float32))
+                             for t in range(raw.shape[0])]
+            else:
+                tokens, chosen_lp, topk_lp, topk_ids = \
+                    execute_output.pythonize()
+                sub_steps = [(tokens, chosen_lp)]
             for sched, meta, slots, chunks in zip(
                     scheduler_output.scheduled_seq_groups, metas,
                     scheduler_output.sample_slots,
@@ -96,25 +105,30 @@ class DecodingOutputProcessor(OutputProcessor):
                 g = sched.seq_group
                 for seq_id, slot, chunk in zip(meta.seq_data, slots, chunks):
                     seq = g.seqs_dict[seq_id]
-                    token = int(tokens[slot])
-                    lp = float(chosen_lp[slot]) if chosen_lp is not None \
-                        else 0.0
-                    if (topk_lp is not None and meta.do_sample
-                            and meta.sampling_params.logprobs):
-                        k = meta.sampling_params.logprobs
-                        d = {int(t): float(p) for t, p in
-                             zip(topk_ids[slot][:k], topk_lp[slot][:k])}
-                        d.setdefault(token, lp)
-                        seq.logprobs.append(d)
-                    # advance computed-token count by this seq's chunk
-                    seq.data.update_num_computed_tokens(chunk)
-                    if not meta.do_sample:
-                        continue  # non-final prefill chunk: no token
-                    g.metrics.on_token()
-                    seq.append_token_id(token, lp)
-                    new_text = self._detokenize(seq, meta.sampling_params)
-                    self.stop_checker.maybe_stop(seq, meta.sampling_params,
-                                                 new_text)
+                    for step_idx, (tokens_t, lp_t) in enumerate(sub_steps):
+                        if seq.is_finished():
+                            break
+                        token = int(tokens_t[slot])
+                        lp = float(lp_t[slot]) if lp_t is not None else 0.0
+                        if (topk_lp is not None and meta.do_sample
+                                and meta.sampling_params.logprobs):
+                            k = meta.sampling_params.logprobs
+                            d = {int(t): float(p) for t, p in
+                                 zip(topk_ids[slot][:k], topk_lp[slot][:k])}
+                            d.setdefault(token, lp)
+                            seq.logprobs.append(d)
+                        # advance computed-token count: full chunk on the
+                        # first sub-step, one token per chained iteration
+                        seq.data.update_num_computed_tokens(
+                            chunk if step_idx == 0 else 1)
+                        if not meta.do_sample:
+                            continue  # non-final prefill chunk: no token
+                        g.metrics.on_token()
+                        seq.append_token_id(token, lp)
+                        new_text = self._detokenize(seq,
+                                                    meta.sampling_params)
+                        self.stop_checker.maybe_stop(
+                            seq, meta.sampling_params, new_text)
                 outputs.append(self._to_request_output(g))
         for g in scheduler_output.ignored_seq_groups:
             outputs.append(self._to_request_output(g))

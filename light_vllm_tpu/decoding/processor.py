@@ -175,7 +175,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         for row in all_rows:
             s = row["slot"]
             start = row["chunk_start"]
-            bt = row["block_table"]
+            bt = row["block_table"][:self.max_pages]  # lookahead may exceed
             block_tables[s, :len(bt)] = bt
             seq_lens[s] = row["kv_len"]
             ctx_lens[s] = row["ctx_len"]
@@ -208,7 +208,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             [row["query_len"] for row in refs] for refs in meta_row_refs]
 
         (seq_f32, top_k_arr, seeds, out_tokens, prompt_tokens, use_penalties,
-         use_topkp) = self._build_sampling(all_rows, S)
+         use_topkp, all_greedy) = self._build_sampling(all_rows, S)
         num_logprobs = max(
             [r["meta"].sampling_params.logprobs or 0 for r in all_rows] + [0])
 
@@ -237,7 +237,8 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             num_seqs=S_real, num_decode_tokens=D_real,
             decode_region=decode_region, num_prefill_seqs=n_prefill,
             num_logprobs=num_logprobs, use_penalties=use_penalties,
-            use_topkp=use_topkp)
+            use_topkp=use_topkp, all_greedy=all_greedy,
+            multi_step=scheduler_output.multi_step if n_prefill == 0 else 1)
         worker_input = DecodingWorkerInput(
             blocks_to_swap_in=scheduler_output.blocks_to_swap_in,
             blocks_to_swap_out=scheduler_output.blocks_to_swap_out,
@@ -303,7 +304,8 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         use_penalties = needs_prompt
         use_topkp = bool(np.any(top_k > 0) or np.any(top_p < 1.0)
                          or np.any(min_p > 0))
+        all_greedy = bool(np.all(temperature < 1e-5))
         seq_f32 = np.stack([temperature, top_p, min_p, presence, frequency,
                             repetition])
         return (seq_f32, top_k, seeds, out_tokens, prompt_tokens,
-                use_penalties, use_topkp)
+                use_penalties, use_topkp, all_greedy)

@@ -82,6 +82,10 @@ class DecodingScheduler(Scheduler):
         self.swapped: Deque[SequenceGroup] = deque()
         self.user_specified_preemption_mode = \
             scheduler_config.preemption_mode
+        self.num_scheduler_steps = getattr(scheduler_config,
+                                           "num_scheduler_steps", 1)
+        if cache_config.sliding_window:
+            self.num_scheduler_steps = 1  # rotation is per-token host work
         self.num_cumulative_preemption = 0
         self.artificial_preempt = bool(
             envs.LVT_TEST_ENABLE_ARTIFICIAL_PREEMPT)
@@ -232,8 +236,11 @@ class DecodingScheduler(Scheduler):
             if preempted_self:
                 continue
 
+            lookahead = 0 if seq_group.is_prefill() \
+                else self._group_multi_step(seq_group) - 1
             for seq in seq_group.get_seqs(SequenceStatus.RUNNING):
-                for cow in self.block_manager.append_slots(seq):
+                for cow in self.block_manager.append_slots(
+                        seq, num_lookahead_slots=lookahead):
                     out.blocks_to_copy.append(cow)
             budget.add(num_new, 0)
             out.scheduled_seq_groups.append(ScheduledSequenceGroup(
@@ -242,6 +249,19 @@ class DecodingScheduler(Scheduler):
                 out.num_prefill_groups += 1
             running.append(seq_group)
         self.running = running
+
+    def _group_multi_step(self, seq_group: SequenceGroup) -> int:
+        """How many chained decode iterations this group supports."""
+        if self.num_scheduler_steps <= 1:
+            return 1
+        sp = seq_group.sampling_params
+        if (sp.presence_penalty != 0 or sp.frequency_penalty != 0
+                or sp.repetition_penalty != 1.0 or sp.logprobs
+                or sp.stop):
+            # penalties need per-token host state; logprob rings and
+            # mid-block stop-string truncation land later
+            return 1
+        return self.num_scheduler_steps
 
     # ---------------------------------------------------- swapped schedule
     def _schedule_swapped(self, budget: DecodingSchedulingBudget,
@@ -341,6 +361,7 @@ class DecodingScheduler(Scheduler):
             if out.preempted == 0:
                 self._schedule_swapped(budget, out)
         out.num_batched_tokens = budget.num_batched_tokens
+        self._finalize_multi_step(out)
         return out
 
     def _schedule_chunked(self, budget: DecodingSchedulingBudget
@@ -352,7 +373,18 @@ class DecodingScheduler(Scheduler):
             self._schedule_swapped(budget, out)
         self._schedule_prefills(budget, out, enable_chunking=True)
         out.num_batched_tokens = budget.num_batched_tokens
+        self._finalize_multi_step(out)
         return out
+
+    def _finalize_multi_step(self, out: DecodingSchedulerOutput) -> None:
+        """K chained decode iterations apply only to pure-decode batches
+        where every group opted in."""
+        if (self.num_scheduler_steps <= 1 or out.num_prefill_groups > 0
+                or not out.scheduled_seq_groups):
+            return
+        k = min(self._group_multi_step(s.seq_group)
+                for s in out.scheduled_seq_groups)
+        out.multi_step = max(k, 1)
 
     # ------------------------------------------------------------ metadata
     def _build_metadata(self, out: DecodingSchedulerOutput) -> None:

@@ -252,6 +252,9 @@ class DecodingSchedulerOutput(SchedulerOutput):
     blocks_to_copy: List[Tuple[int, int]] = field(default_factory=list)
     ignored_seq_groups: List[SequenceGroup] = field(default_factory=list)
     preempted: int = 0
+    # K > 1: the device runs K chained decode iterations in one dispatch
+    # (multi-step decode); outputs come back as a [K, 2, S] ring.
+    multi_step: int = 1
     # Filled by the scheduler at schedule() time so the input builder does
     # not re-walk sequence state (metadata snapshot).
     seq_group_metadata_list: List["SequenceGroupMetadata"] = field(
@@ -331,6 +334,8 @@ class DecodingModelInput(ModelInput):
     num_logprobs: int = 0            # max logprobs requested in this batch
     use_penalties: bool = False
     use_topkp: bool = False
+    all_greedy: bool = False
+    multi_step: int = 1              # K chained decode iterations
 
 
 @dataclass

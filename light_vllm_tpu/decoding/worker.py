@@ -54,37 +54,31 @@ class CacheEngine:
         cache_dtype = backend.cache_dtype or dtype
         self.cache_dtype = cache_dtype
 
-        def alloc():
-            caches = []
-            for _ in range(num_layers):
-                caches.append(backend.new_kv_cache(num_device_blocks, dtype))
-            return caches
-
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sharding = NamedSharding(mesh, P("tp", None, None))
+            sharding = NamedSharding(mesh, P(None, "tp", None))
             alloc_jit = jax.jit(
-                lambda: [tuple(jnp.zeros(backend.kv_cache_shape(
-                    num_device_blocks), cache_dtype) for _ in range(2))
+                lambda: [jnp.zeros(backend.kv_cache_shape(
+                    num_device_blocks), cache_dtype)
                     for _ in range(num_layers)],
-                out_shardings=[(sharding, sharding)] * num_layers)
+                out_shardings=[sharding] * num_layers)
             self.kv_caches = alloc_jit()
         else:
-            self.kv_caches = alloc()
-        # Host swap pool: [layers][2] np arrays [kvh, cpu_slots, d]
+            self.kv_caches = [backend.new_kv_cache(num_device_blocks, dtype)
+                              for _ in range(num_layers)]
+        # Host swap pool: [layers] np arrays [cpu_slots, 2*kvh, d]
         # (ml_dtypes makes bf16/fp8 valid numpy dtypes).
-        kvh, _, d = backend.kv_cache_shape(1)
+        _, kvh2, d = backend.kv_cache_shape(1)
         np_dt = jnp.dtype(cache_dtype)
         self.cpu_cache = [
-            (np.zeros((kvh, num_cpu_blocks * self.block_size, d), np_dt),
-             np.zeros((kvh, num_cpu_blocks * self.block_size, d), np_dt))
+            np.zeros((num_cpu_blocks * self.block_size, kvh2, d), np_dt)
             for _ in range(num_layers)
         ] if num_cpu_blocks > 0 else []
 
         self._copy_fn = jax.jit(
             functools.partial(copy_pages, page_size=self.block_size),
-            donate_argnums=(0, 1))
+            donate_argnums=(0,))
 
     @staticmethod
     def get_cache_block_size(block_size: int, num_layers: int,
@@ -100,52 +94,43 @@ class CacheEngine:
             return
         src = jnp.asarray([s for s, _ in src_dst], jnp.int32)
         dst = jnp.asarray([d for _, d in src_dst], jnp.int32)
-        self.kv_caches = [
-            tuple(self._copy_fn(k, v, src, dst))
-            for (k, v) in self.kv_caches
-        ]
+        self.kv_caches = [self._copy_fn(kv, src, dst)
+                          for kv in self.kv_caches]
 
     def swap_out(self, pairs: List[Tuple[int, int]]) -> None:
         """(device_block, cpu_block) pairs → host."""
         if not pairs:
             return
         dev_ids = jnp.asarray([a for a, _ in pairs], jnp.int32)
-        for li, (k, v) in enumerate(self.kv_caches):
-            k_blocks = np.asarray(gather_blocks(k, dev_ids, self.block_size),
-                                  dtype=self.cpu_cache[li][0].dtype)
-            v_blocks = np.asarray(gather_blocks(v, dev_ids, self.block_size),
-                                  dtype=self.cpu_cache[li][1].dtype)
-            kc, vc = self.cpu_cache[li]
+        for li, kv in enumerate(self.kv_caches):
+            blocks = np.asarray(gather_blocks(kv, dev_ids, self.block_size),
+                                dtype=self.cpu_cache[li].dtype)
+            host = self.cpu_cache[li]
             for j, (_, cpu_bid) in enumerate(pairs):
                 s = cpu_bid * self.block_size
-                kc[:, s:s + self.block_size] = k_blocks[:, j]
-                vc[:, s:s + self.block_size] = v_blocks[:, j]
+                host[s:s + self.block_size] = blocks[j]
 
     def swap_in(self, pairs: List[Tuple[int, int]]) -> None:
         """(cpu_block, device_block) pairs → device."""
         if not pairs:
             return
         dev_ids = jnp.asarray([b for _, b in pairs], jnp.int32)
-        for li, (k, v) in enumerate(self.kv_caches):
-            kc, vc = self.cpu_cache[li]
-            kvh, _, d = kc.shape
-            kb = np.stack([kc[:, c * self.block_size:(c + 1) * self.block_size]
-                           for c, _ in pairs], axis=1)
-            vb = np.stack([vc[:, c * self.block_size:(c + 1) * self.block_size]
-                           for c, _ in pairs], axis=1)
-            k = scatter_blocks(k, jnp.asarray(kb, k.dtype), dev_ids,
-                               self.block_size)
-            v = scatter_blocks(v, jnp.asarray(vb, v.dtype), dev_ids,
-                               self.block_size)
-            self.kv_caches[li] = (k, v)
+        for li, kv in enumerate(self.kv_caches):
+            host = self.cpu_cache[li]
+            blocks = np.stack(
+                [host[c * self.block_size:(c + 1) * self.block_size]
+                 for c, _ in pairs])
+            self.kv_caches[li] = scatter_blocks(
+                kv, jnp.asarray(blocks, kv.dtype), dev_ids, self.block_size)
 
 
 class DecodingModelRunner:
     """Owns params + the fused jitted step (reference: runner/model_runner.py:32)."""
 
-    def __init__(self, model, mesh=None) -> None:
+    def __init__(self, model, mesh=None, page_size: int = 16) -> None:
         self.model = model
         self.mesh = mesh
+        self.page_size = page_size
         self.params = None
         self._step_cache: Dict[Any, Any] = {}
 
@@ -156,7 +141,7 @@ class DecodingModelRunner:
                       num_logprobs: int, has_prompt_tokens: bool,
                       decode_region: int, num_prefill_seqs: int,
                       T: int, S: int, NT: int, P: int, max_out: int,
-                      prompt_len: int):
+                      prompt_len: int, all_greedy: bool = False):
         model = self.model
 
         def step(params, kv_caches, blob):
@@ -206,7 +191,7 @@ class DecodingModelRunner:
                 logits, temperature, top_k, top_p, min_p, presence,
                 frequency, repetition, output_tokens, prompt_tokens, seeds,
                 use_penalties=use_penalties, use_topkp=use_topkp,
-                num_logprobs=num_logprobs)
+                num_logprobs=num_logprobs, all_greedy=all_greedy)
             # Pack the hot outputs into one [2, S] i32 buffer → one
             # device→host transfer at the sync point.
             packed = jnp.stack([
@@ -217,14 +202,113 @@ class DecodingModelRunner:
 
         return jax.jit(step, donate_argnums=(1,))
 
+    def _make_multistep_fn(self, use_topkp: bool, S: int, P: int,
+                           num_steps: int, page_size: int, NT: int,
+                           max_out: int, all_greedy: bool = False):
+        """K chained decode iterations in one dispatch: lax.scan feeds each
+        iteration's sampled tokens into the next device-side, so the host
+        and the interconnect leave the per-token critical path (the TPU
+        rewrite of the reference's advance_step multi-step machinery,
+        reference: csrc/prepare_inputs/advance_step.cu)."""
+        model = self.model
+
+        def step(params, kv_caches, blob):
+            off = 0
+
+            def take(n, shape):
+                nonlocal off
+                part = jax.lax.dynamic_slice_in_dim(blob, off, n)
+                off += n
+                return part.reshape(shape)
+
+            tok_i32 = take(4 * S, (4, S))
+            seq_i32 = take(7 * S, (7, S))
+            seq_f32 = jax.lax.bitcast_convert_type(
+                take(6 * S, (6, S)), jnp.float32)
+            take(2 * NT, (2, NT))  # tiles (unused on the pure-decode path)
+            block_tables = take(S * P, (S, P))
+            output_tokens = take(S * max_out, (S, max_out))
+
+            input_ids0, positions0 = tok_i32[0], tok_i32[1]
+            seq_lens0 = seq_i32[0]
+            top_k, seeds_i = seq_i32[5], seq_i32[6]
+            (temperature, top_p, min_p, presence, frequency,
+             repetition) = (seq_f32[0], seq_f32[1], seq_f32[2], seq_f32[3],
+                            seq_f32[4], seq_f32[5])
+            seeds0 = jax.lax.bitcast_convert_type(seeds_i, jnp.uint32)
+            rows = jnp.arange(S, dtype=jnp.int32)
+
+            def body(carry, t):
+                kv_caches, tokens, positions, seq_lens = carry
+                page_idx = positions // page_size
+                slot_mapping = block_tables[rows,
+                                            jnp.minimum(page_idx, P - 1)] \
+                    * page_size + positions % page_size
+                # positions past the table (seq hit max len mid-ring; host
+                # will stop it) write to the null page instead
+                slot_mapping = jnp.where(positions < P * page_size,
+                                         slot_mapping, 0)
+                meta = DecodeAttnMetadata(
+                    slot_mapping=slot_mapping, block_tables=block_tables,
+                    seq_lens=seq_lens, seq_ids=rows, positions=positions,
+                    num_decode_tokens=S, decode_region=S,
+                    num_prefill_seqs=0)
+                hidden, kv_caches = model(params, tokens, positions,
+                                          kv_caches, meta)
+                logits = model.compute_logits(params, hidden, rows)
+                res = sampling_ops.sample(
+                    logits, temperature, top_k, top_p, min_p, presence,
+                    frequency, repetition, output_tokens, None,
+                    seeds0 + jnp.uint32(0x9E3779B9) * t.astype(jnp.uint32),
+                    use_penalties=False, use_topkp=use_topkp,
+                    num_logprobs=0, all_greedy=all_greedy)
+                out_t = jnp.stack([
+                    res.next_tokens,
+                    jax.lax.bitcast_convert_type(res.chosen_logprobs,
+                                                 jnp.int32)])
+                return (kv_caches, res.next_tokens, positions + 1,
+                        seq_lens + 1), out_t
+
+            # Unrolled rather than lax.scan: the scan carry ping-pongs the
+            # multi-GB KV buffers (2x HBM), while straight-line dataflow
+            # lets XLA alias every page write in place.
+            carry = (kv_caches, input_ids0, positions0, seq_lens0)
+            outs = []
+            for t in range(num_steps):
+                carry, out_t = body(carry, jnp.int32(t))
+                outs.append(out_t)
+            kv_caches = carry[0]
+            ring = jnp.stack(outs)
+            return ring, kv_caches  # ring [K, 2, S]
+
+        return jax.jit(step, donate_argnums=(1,))
+
     def execute(self, model_input: DecodingModelInput, kv_caches):
+        K = model_input.multi_step
+        if K > 1 and model_input.num_prefill_seqs == 0 \
+                and model_input.T == model_input.S \
+                and not model_input.use_penalties \
+                and not model_input.has_prompt_tokens:
+            mkey = ("ms", model_input.use_topkp, model_input.S,
+                    model_input.P, K, model_input.NT, model_input.max_out,
+                    model_input.all_greedy)
+            if mkey not in self._step_cache:
+                self._step_cache[mkey] = self._make_multistep_fn(
+                    model_input.use_topkp, model_input.S, model_input.P, K,
+                    self.page_size, model_input.NT, model_input.max_out,
+                    model_input.all_greedy)
+            ring, kv_caches = self._step_cache[mkey](
+                self.params, kv_caches, model_input.blob)
+            return DecodingExecuteOutput(next_tokens=ring), kv_caches
+
         key = (model_input.use_penalties, model_input.use_topkp,
                model_input.num_logprobs,
                model_input.has_prompt_tokens,
                model_input.decode_region,
                min(model_input.num_prefill_seqs, 1),
                model_input.T, model_input.S, model_input.NT,
-               model_input.P, model_input.max_out, model_input.prompt_len)
+               model_input.P, model_input.max_out, model_input.prompt_len,
+               model_input.all_greedy)
         if key not in self._step_cache:
             self._step_cache[key] = self._make_step_fn(*key)
         step_fn = self._step_cache[key]
@@ -280,7 +364,9 @@ class DecodingWorker(WorkerBase):
         params = loader.load_params(self.model, self.engine_config, self.mesh)
         leaves = jax.tree.leaves(params)
         self._param_bytes = sum(x.size * x.dtype.itemsize for x in leaves)
-        self.runner = DecodingModelRunner(self.model, self.mesh)
+        self.runner = DecodingModelRunner(
+            self.model, self.mesh,
+            page_size=self.attn_backend.block_size)
         self.runner.prepare(params)
         logger.info("model loaded in %.1fs (%.2f GiB params)",
                     time.perf_counter() - t0, self._param_bytes / 2**30)

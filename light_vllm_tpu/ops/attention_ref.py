@@ -49,8 +49,7 @@ def dense_attention(
 
 def ragged_paged_attention_ref(
     q: jnp.ndarray,             # [T, h, d] flattened mixed batch
-    k_pages: jnp.ndarray,       # [kvh, num_slots, d]
-    v_pages: jnp.ndarray,       # [kvh, num_slots, d]
+    kv_pages: jnp.ndarray,      # [num_slots, 2*kvh, d] combined cache
     block_tables: jnp.ndarray,  # [S, max_pages] int32
     seq_lens: jnp.ndarray,      # [S] total kv len incl. this step's tokens
     seq_ids: jnp.ndarray,       # [T] seq slot of each token (pad → slot with
@@ -73,7 +72,7 @@ def ragged_paged_attention_ref(
     mapping.
     """
     T, h, d = q.shape
-    kvh = k_pages.shape[0]
+    kvh = kv_pages.shape[1] // 2
     S, max_pages = block_tables.shape
     max_kv = max_pages * page_size
     scale = scale if scale is not None else d ** -0.5
@@ -83,8 +82,9 @@ def ragged_paged_attention_ref(
     slot_ids = (block_tables[:, :, None] * page_size
                 + jnp.arange(page_size)[None, None, :]).reshape(S, max_kv)
     tok_slots = slot_ids[seq_ids]  # [T, max_kv]
-    k_tok = jnp.transpose(k_pages[:, tok_slots, :], (1, 2, 0, 3))
-    v_tok = jnp.transpose(v_pages[:, tok_slots, :], (1, 2, 0, 3))
+    kv_tok = kv_pages[tok_slots]   # [T, max_kv, 2*kvh, d]
+    k_tok = kv_tok[:, :, :kvh, :]
+    v_tok = kv_tok[:, :, kvh:, :]
     if kvh != h:
         rep = h // kvh
         k_tok = jnp.repeat(k_tok, rep, axis=2)

@@ -90,7 +90,8 @@ def apply_top_k_top_p_min_p(logits: jnp.ndarray, top_k: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("use_penalties", "use_topkp",
-                                   "num_logprobs"))
+                                   "num_logprobs", "all_greedy",
+                                   "need_chosen_logprobs"))
 def sample(logits: jnp.ndarray,
            temperature: jnp.ndarray,
            top_k: jnp.ndarray, top_p: jnp.ndarray, min_p: jnp.ndarray,
@@ -100,8 +101,14 @@ def sample(logits: jnp.ndarray,
            prompt_tokens: Optional[jnp.ndarray],
            seeds: jnp.ndarray,
            *, use_penalties: bool, use_topkp: bool,
-           num_logprobs: int = 0) -> SampleResult:
-    """logits [S, V] f32 → sampled token per row."""
+           num_logprobs: int = 0, all_greedy: bool = False,
+           need_chosen_logprobs: bool = True) -> SampleResult:
+    """logits [S, V] f32 → sampled token per row.
+
+    Static flags prune whole phases: all_greedy skips the (expensive)
+    per-row threefry gumbel noise; need_chosen_logprobs=False skips the
+    log-softmax when the caller doesn't consume cumulative logprobs.
+    """
     logits = logits.astype(jnp.float32)
     if use_penalties:
         logits = apply_penalties(logits, output_tokens, prompt_tokens,
@@ -109,27 +116,30 @@ def sample(logits: jnp.ndarray,
 
     greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    # logprobs of the *pre-temperature* distribution (reference semantics:
-    # logprobs reflect the penalized distribution at temperature 1).
-    logz = jax.nn.log_softmax(logits, axis=-1)
+    if all_greedy:
+        next_tokens = greedy_tokens
+    else:
+        temp = jnp.maximum(temperature, 1e-6)[:, None]
+        scaled = logits / temp
+        if use_topkp:
+            scaled = apply_top_k_top_p_min_p(scaled, top_k, top_p, min_p)
+        # Gumbel-max sampling with per-row seeds.
+        base = jax.random.key(0)
+        gumbel = jax.vmap(lambda s: jax.random.gumbel(
+            jax.random.fold_in(base, s), (logits.shape[-1],), jnp.float32))(
+                seeds.astype(jnp.uint32))
+        random_tokens = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+        is_greedy = temperature < 1e-5
+        next_tokens = jnp.where(is_greedy, greedy_tokens, random_tokens)
 
-    temp = jnp.maximum(temperature, 1e-6)[:, None]
-    scaled = logits / temp
-    if use_topkp:
-        scaled = apply_top_k_top_p_min_p(scaled, top_k, top_p, min_p)
-
-    # Gumbel-max sampling with per-row seeds.
-    base = jax.random.key(0)
-    gumbel = jax.vmap(lambda s: jax.random.gumbel(
-        jax.random.fold_in(base, s), (logits.shape[-1],), jnp.float32))(
-            seeds.astype(jnp.uint32))
-    random_tokens = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
-
-    is_greedy = temperature < 1e-5
-    next_tokens = jnp.where(is_greedy, greedy_tokens, random_tokens)
-
-    chosen_logprobs = jnp.take_along_axis(
-        logz, next_tokens[:, None], axis=-1)[:, 0]
+    if need_chosen_logprobs or num_logprobs > 0:
+        # logprobs of the *pre-temperature* distribution (reference
+        # semantics: logprobs reflect the penalized distribution at T=1).
+        logz = jax.nn.log_softmax(logits, axis=-1)
+        chosen_logprobs = jnp.take_along_axis(
+            logz, next_tokens[:, None], axis=-1)[:, 0]
+    else:
+        chosen_logprobs = jnp.zeros(logits.shape[0], jnp.float32)
 
     if num_logprobs > 0:
         topk_lp, topk_ids = jax.lax.top_k(logz, num_logprobs)

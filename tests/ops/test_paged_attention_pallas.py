@@ -20,10 +20,8 @@ def test_decode_kernel_matches_reference(h, kvh, d, page_size, rng):
     seq_lens = np.array([1, 17, 60, 128], dtype=np.int32)
 
     q = rng.standard_normal((S, h, d), dtype=np.float32)
-    k_pages = rng.standard_normal((kvh, num_blocks * page_size, d),
-                                  dtype=np.float32)
-    v_pages = rng.standard_normal((kvh, num_blocks * page_size, d),
-                                  dtype=np.float32)
+    kv_pages = rng.standard_normal((num_blocks * page_size, 2 * kvh, d),
+                                   dtype=np.float32)
     # distinct random block tables (blocks 1..)
     block_tables = np.zeros((S, max_pages), dtype=np.int32)
     used = set([0])
@@ -42,13 +40,13 @@ def test_decode_kernel_matches_reference(h, kvh, d, page_size, rng):
     positions = seq_lens - 1
 
     ref = ragged_paged_attention_ref(
-        jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(q), jnp.asarray(kv_pages),
         jnp.asarray(block_tables), jnp.asarray(seq_lens),
         jnp.asarray(seq_ids), jnp.asarray(positions),
         page_size, scale=scale)
 
     out = paged_attention_decode(
-        jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(q), jnp.asarray(kv_pages),
         jnp.asarray(block_tables), jnp.asarray(seq_lens),
         page_size=page_size, scale=scale, pages_per_fetch=2, interpret=True)
 
@@ -78,10 +76,8 @@ def test_prefill_kernel_matches_reference(h, kvh, d, rng):
     T = cursor
 
     q = rng.standard_normal((T, h, d), dtype=np.float32)
-    k_pages = rng.standard_normal((kvh, num_blocks * page_size, d),
-                                  dtype=np.float32)
-    v_pages = rng.standard_normal((kvh, num_blocks * page_size, d),
-                                  dtype=np.float32)
+    kv_pages = rng.standard_normal((num_blocks * page_size, 2 * kvh, d),
+                                   dtype=np.float32)
     block_tables = np.zeros((S, max_pages), dtype=np.int32)
     seq_lens = np.zeros(S, dtype=np.int32)
     ctx_lens = np.zeros(S, dtype=np.int32)
@@ -108,11 +104,11 @@ def test_prefill_kernel_matches_reference(h, kvh, d, rng):
 
     scale = d ** -0.5
     ref = ragged_paged_attention_ref(
-        jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(q), jnp.asarray(kv_pages),
         jnp.asarray(block_tables), jnp.asarray(seq_lens),
         jnp.asarray(seq_ids), jnp.asarray(positions), page_size, scale=scale)
     out = prefill_paged_attention(
-        jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(q), jnp.asarray(kv_pages),
         jnp.asarray(tile_seq), jnp.asarray(tile_qstart),
         jnp.asarray(block_tables), jnp.asarray(seq_lens),
         jnp.asarray(ctx_lens), jnp.asarray(cs_arr),
