@@ -196,6 +196,20 @@ class ModelConfig:
                                          else "bfloat16"))
         self.max_model_len = self._resolve_max_model_len(max_model_len)
 
+        # Prequantized checkpoint (GPTQ/AWQ/fp8) auto-detection from the HF
+        # quantization_config (reference: weight_utils.py:119 get_quant_config).
+        self.quantization_kwargs: dict = {}
+        if self.quantization is None:
+            from light_vllm_tpu.layers.quant.ingest import \
+                detect_hf_quantization
+
+            detected = detect_hf_quantization(self.hf_config)
+            if detected:
+                self.quantization = detected.pop("name")
+                self.quantization_kwargs = detected
+                logger.info("detected prequantized checkpoint: %s %s",
+                            self.quantization, self.quantization_kwargs)
+
     def _resolve_max_model_len(self, user_len: Optional[int]) -> int:
         derived = None
         for key in ("max_position_embeddings", "n_positions",

@@ -71,7 +71,17 @@ class LinearBase(Layer):
     def maybe_quantize(self, raw: Params) -> Params:
         """Quantize a float host-side kernel at load time when this layer's
         specs expect a quantized format (reference:
-        process_weights_after_loading, fp8.py:172-180)."""
+        process_weights_after_loading, fp8.py:172-180). A kernel arriving as
+        a QTensor (prequantized GPTQ/AWQ checkpoint, quant/ingest.py) is
+        already in our layout — just splat its params."""
+        from light_vllm_tpu.layers.quant.ingest import QTensor
+
+        if isinstance(raw.get("kernel"), QTensor):
+            qt = raw["kernel"]
+            raw = dict(raw)
+            raw.pop("kernel")
+            raw.update(qt.to_params())
+            return raw
         if ("scale" in self._specs and "scale" not in raw
                 and "kernel" in raw
                 and hasattr(self.quant_method, "quantize_host")):

@@ -18,6 +18,15 @@ from typing import Optional
 from light_vllm_tpu.layers.quant.base import QuantizationConfig
 
 
+def quant_config_from_model_config(model_config
+                                   ) -> Optional[QuantizationConfig]:
+    """Resolve a model config's quantization method, carrying kwargs
+    detected from a prequantized HF checkpoint (e.g. GPTQ group_size)."""
+    return get_quantization_config(
+        model_config.quantization,
+        **getattr(model_config, "quantization_kwargs", {}))
+
+
 def get_quantization_config(name: Optional[str],
                             **kwargs) -> Optional[QuantizationConfig]:
     if name is None:

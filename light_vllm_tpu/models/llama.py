@@ -132,9 +132,9 @@ class LlamaForCausalLM:
         rope_theta = getattr(cfg, "rope_theta", None) or 10000.0
         rope_scaling = getattr(cfg, "rope_scaling", None)
         max_pos = model_config.max_model_len
-        from light_vllm_tpu.layers.quant import get_quantization_config
+        from light_vllm_tpu.layers.quant import quant_config_from_model_config
 
-        quant_config = get_quantization_config(model_config.quantization)
+        quant_config = quant_config_from_model_config(model_config)
         self.embed = VocabParallelEmbedding(cfg.vocab_size, H, dtype=dtype)
         self.decoder_layers = [
             LlamaDecoderLayer(cfg, dtype, attn_backend,
@@ -232,26 +232,29 @@ class LlamaForCausalLM:
                 i = int(idx_s)
                 staging.setdefault(str(i), {})[tail] = arr
 
+        from light_vllm_tpu.layers.quant.ingest import concat_cols, get_kernel
+
         for i_s, tensors in staging.items():
             i = int(i_s)
 
             def w(n):
-                return tensors[n + ".weight"].T  # [out,in] → [in,out]
+                # float .weight ([out,in] → [in,out]) or GPTQ/AWQ triple
+                return get_kernel(tensors, n)
 
             def b(n):
                 return tensors.get(n + ".bias")
 
-            qkv_k = np.concatenate([w("self_attn.q_proj"),
-                                    w("self_attn.k_proj"),
-                                    w("self_attn.v_proj")], axis=1)
+            qkv_k = concat_cols([w("self_attn.q_proj"),
+                                 w("self_attn.k_proj"),
+                                 w("self_attn.v_proj")])
             set_layer(i, "qkv", "kernel", qkv_k)
             if b("self_attn.q_proj") is not None:
                 set_layer(i, "qkv", "bias", np.concatenate(
                     [b("self_attn.q_proj"), b("self_attn.k_proj"),
                      b("self_attn.v_proj")]))
             set_layer(i, "o", "kernel", w("self_attn.o_proj"))
-            set_layer(i, "gate_up", "kernel", np.concatenate(
-                [w("mlp.gate_proj"), w("mlp.up_proj")], axis=1))
+            set_layer(i, "gate_up", "kernel", concat_cols(
+                [w("mlp.gate_proj"), w("mlp.up_proj")]))
             set_layer(i, "down", "kernel", w("mlp.down_proj"))
             set_layer(i, "input_ln", "weight",
                       tensors["input_layernorm.weight"])
