@@ -49,6 +49,13 @@ class LLMEngine:
         self.scheduler = self._build("Scheduler")
         self.output_processor = self._build("OutputProcessor")
 
+        from light_vllm_tpu.core.metrics import (build_hooks_from_env,
+                                                 enable_trace_function_call)
+        self.stats_logger, self.profiler_hook = build_hooks_from_env()
+        from light_vllm_tpu import envs
+        if envs.LVT_TRACE_FUNCTION:
+            enable_trace_function_call("lvt_engine_trace.log")
+
     def _build(self, component: str):
         qualname = getattr(self.workflow, component, "")
         if not qualname:
@@ -134,6 +141,7 @@ class LLMEngine:
         request_outputs = self.output_processor(scheduler_output,
                                                 execute_output)
         self.scheduler.free_finished_request(scheduler_output)
+        self._on_step_done(scheduler_output, request_outputs)
         return request_outputs
 
     def async_step(self) -> List:
@@ -148,9 +156,17 @@ class LLMEngine:
         scheduler_output = tag
         request_outputs = self.output_processor(scheduler_output, item)
         self.scheduler.free_finished_request(scheduler_output)
+        self._on_step_done(scheduler_output, request_outputs)
         # Refill the window with what just became schedulable.
         self._put_as_many_as_possible()
         return request_outputs
+
+    def _on_step_done(self, scheduler_output, request_outputs) -> None:
+        if self.stats_logger is not None:
+            self.stats_logger.on_step(scheduler_output, request_outputs,
+                                      self.scheduler)
+        if self.profiler_hook is not None:
+            self.profiler_hook.on_step()
 
     def _put_as_many_as_possible(self) -> None:
         while self.num_on_the_fly < self.max_num_on_the_fly:
@@ -163,6 +179,8 @@ class LLMEngine:
             self.num_on_the_fly += 1
 
     def shutdown(self) -> None:
+        if getattr(self, "profiler_hook", None) is not None:
+            self.profiler_hook.close()
         if getattr(self, "executor", None) is not None:
             self.executor.shutdown_execute_loop()
 

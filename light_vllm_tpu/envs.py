@@ -30,6 +30,16 @@ environment_variables: Dict[str, Callable[[], Any]] = {
         int(os.environ.get("LVT_USE_NATIVE_RUNTIME", "1"))),
     # Token bucket padding policy: comma separated bucket sizes.
     "LVT_TOKEN_BUCKETS": lambda: os.environ.get("LVT_TOKEN_BUCKETS", None),
+    # Step-level stats logging interval in seconds (0 disables).
+    "LVT_LOG_STATS_INTERVAL": lambda: float(
+        os.environ.get("LVT_LOG_STATS_INTERVAL", "10")),
+    # jax.profiler trace capture: output dir enables; trace spans
+    # [DELAY, DELAY+NUM) engine steps.
+    "LVT_PROFILE_DIR": lambda: os.environ.get("LVT_PROFILE_DIR", None),
+    "LVT_PROFILE_DELAY_STEPS": lambda: int(
+        os.environ.get("LVT_PROFILE_DELAY_STEPS", "10")),
+    "LVT_PROFILE_NUM_STEPS": lambda: int(
+        os.environ.get("LVT_PROFILE_NUM_STEPS", "20")),
 }
 
 
