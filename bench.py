@@ -50,6 +50,9 @@ def build_llm(max_num_seqs: int, enable_chunked_prefill: bool):
                max_model_len=2048, block_size=16,
                max_num_seqs=max_num_seqs,
                enable_chunked_prefill=enable_chunked_prefill,
+               # 7 x 256-token prompts + a 128-row decode region fill the
+               # 2048 token bucket with ~6% padding.
+               max_num_batched_tokens=1920,
                num_scheduler_steps=8,
                swap_space=1.0)
 
@@ -71,9 +74,11 @@ def main():
     params = SamplingParams(temperature=0.0, max_tokens=output_len,
                             ignore_eos=True, detokenize=False)
 
-    # Warmup: compile the executable set (prefill + decode buckets).
+    # Warmup: compile the executable set the main run will hit — 39 prompts
+    # covers the full 7-prompt prefill steps (T=2048), the 4-prompt tail
+    # (T=1024) and the 128-row decode bucket (see processor.py ladders).
     t_warm = time.perf_counter()
-    warm = llm.generate(prompts[:4], params)
+    warm = llm.generate(prompts[:39], params)
     assert all(len(o.outputs[0].token_ids) == output_len for o in warm)
     sys.stderr.write(f"# warmup {time.perf_counter() - t_warm:.1f}s\n")
 

@@ -109,7 +109,9 @@ class DummyModelLoader(BaseModelLoader):
         key = jax.random.PRNGKey(seed)
         specs = model.specs()
         if mesh is None:
-            return model.init_params(key)
+            # One jitted init = one compile + one dispatch; eager per-param
+            # init is hundreds of round-trips (brutal on remote devices).
+            return jax.jit(model.init_params)(key)
 
         # Initialize directly sharded: jit the init so each shard
         # materializes only its slice.

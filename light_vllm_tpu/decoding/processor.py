@@ -34,13 +34,33 @@ from light_vllm_tpu.decoding.schema import (DecodingModelInput,
                                             SequenceGroup, SequenceStatus)
 from light_vllm_tpu.utils import Counter, cdiv, next_power_of_2
 
-# Token-bucket ladder: fine-grained at small sizes (decode-heavy steps),
-# power-of-two growth beyond.
-_DEFAULT_TOKEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+# Bucket ladders. Deliberately COARSE: every (T, S, NT) combination is a
+# separate XLA executable of the full model, and compiles are expensive
+# (remote-compile latency dwarfs the padding waste of a 4x-spaced ladder —
+# decode matmuls are weight-bandwidth-bound, so padding the batch axis is
+# nearly free). The multi-step decode executable is K chained model calls,
+# ~K times the compile cost, which punishes ladder churn hardest.
+_DEFAULT_TOKEN_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+_SEQ_BUCKETS = (8, 32, 128, 512, 2048)
 
 
-def pick_token_bucket(n: int, buckets=_DEFAULT_TOKEN_BUCKETS) -> int:
-    for b in buckets:
+def _env_buckets():
+    from light_vllm_tpu import envs
+    raw = envs.LVT_TOKEN_BUCKETS
+    if raw:
+        return tuple(sorted(int(x) for x in raw.split(",")))
+    return _DEFAULT_TOKEN_BUCKETS
+
+
+def pick_token_bucket(n: int, buckets=None) -> int:
+    for b in buckets or _env_buckets():
+        if n <= b:
+            return b
+    return next_power_of_2(n)
+
+
+def pick_seq_bucket(n: int) -> int:
+    for b in _SEQ_BUCKETS:
         if n <= b:
             return b
     return next_power_of_2(n)
@@ -139,7 +159,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         if n_prefill:
             decode_region = cdiv(max(D_real, 1), TQ) * TQ if D_real else 0
         else:
-            decode_region = pick_token_bucket(max(D_real, 1))
+            decode_region = pick_seq_bucket(max(D_real, 1))
 
         # Assign flat rows + seq slots.
         for i, row in enumerate(decode_rows):
@@ -153,12 +173,16 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             for t in range(cdiv(row["query_len"], TQ)):
                 tiles.append((row["slot"], cursor + t * TQ))
             cursor += cdiv(row["query_len"], TQ) * TQ
-        T_real = cursor if n_prefill else D_real
-        T = max(pick_token_bucket(max(T_real, 1)), decode_region)
+        if n_prefill:
+            T = max(pick_token_bucket(max(cursor, 1)), decode_region)
+        else:
+            # Pure decode: one token per row — T is exactly the (bucketed)
+            # decode region so the multi-step T == S eligibility holds.
+            T = decode_region
         S_real = decode_region + n_prefill if n_prefill else D_real
         # The decode kernel runs over rows [0, decode_region): the seq-slot
         # arrays must cover that range or the kernel reads junk block ids.
-        S = max(next_power_of_2(max(S_real, 1)), decode_region)
+        S = max(pick_seq_bucket(max(S_real, 1)), decode_region)
 
         input_ids = np.zeros(T, dtype=np.int32)
         pos_arr = np.zeros(T, dtype=np.int32)
@@ -194,7 +218,10 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         # Pad tokens default seq_ids to slot S-1. If that slot is real the
         # reference impl computes (ignored) extra rows — harmless: pad KV
         # writes go to the null page and pad outputs are never gathered.
-        NT = next_power_of_2(max(len(tiles), 1))
+        # NT is tied to T (the max tiles T tokens can produce) so the tile
+        # count never adds an executable dimension; padded tiles carry
+        # seq = -1 and the prefill kernel skips them.
+        NT = max(T // TQ, 1) if n_prefill else 1
         tile_seq = np.full(NT, -1, dtype=np.int32)
         tile_qstart = np.zeros(NT, dtype=np.int32)
         for i, (s, qs) in enumerate(tiles):

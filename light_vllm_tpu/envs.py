@@ -30,6 +30,9 @@ environment_variables: Dict[str, Callable[[], Any]] = {
         int(os.environ.get("LVT_USE_NATIVE_RUNTIME", "1"))),
     # Token bucket padding policy: comma separated bucket sizes.
     "LVT_TOKEN_BUCKETS": lambda: os.environ.get("LVT_TOKEN_BUCKETS", None),
+    # MoE expert-compute path: "grouped" (Pallas gmm) | "dense"
+    # (masked-dense) | unset = auto by platform and batch size.
+    "LVT_MOE_BACKEND": lambda: os.environ.get("LVT_MOE_BACKEND", None),
     # Step-level stats logging interval in seconds (0 disables).
     "LVT_LOG_STATS_INTERVAL": lambda: float(
         os.environ.get("LVT_LOG_STATS_INTERVAL", "10")),

@@ -2,13 +2,20 @@
 light_vllm/backends/fused_moe/layer.py:123 + fused_moe.py Triton kernel).
 
 Routing: per-token top-k softmax over the router logits (reference:
-csrc/moe/topk_softmax). Expert compute: this round ships the exact
-masked-dense formulation — every expert runs on every token and results are
-combined with the (sparse) routing weights. That is exact (no capacity
-dropping) and jit-friendly (static shapes), at the cost of E/topk extra
-FLOPs; the Pallas grouped-matmul (megablocks-style) kernel replaces it next.
+csrc/moe/topk_softmax). Expert compute has two exact formulations, chosen
+at trace time by token count:
+
+  masked-dense — every expert runs on every token, combined by the sparse
+    routing weights; jit-trivial, best for small decode batches where the
+    grouped kernel's sort/tiling overhead dominates.
+  grouped      — sort tokens by expert + Pallas grouped matmul
+    (ops/grouped_matmul.py, megablocks-style); FLOPs ~ T*k instead of T*E,
+    the win for prefill. Reference analog: the Triton fused-moe kernel
+    (light_vllm/backends/fused_moe/fused_moe.py).
+
 Expert weights are stacked [E, ...] and shard over the "tp" axis on the
-expert dimension → expert parallelism falls out of GSPMD.
+expert dimension → expert parallelism falls out of GSPMD (masked-dense
+path; the grouped kernel currently requires replicated experts).
 """
 
 from typing import Optional, Tuple
@@ -44,6 +51,7 @@ class FusedMoE(Layer):
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
         self.renormalize = renormalize
+        self.ep_axis = ep_axis
         E, H, I = num_experts, hidden_size, intermediate_size
         self._specs = {
             "router": ParamSpec((H, E), dtype, P()),
@@ -52,6 +60,19 @@ class FusedMoE(Layer):
             "w2": ParamSpec((E, I, H), dtype, P(ep_axis)),
         }
 
+    def _use_grouped(self, T: int) -> bool:
+        from light_vllm_tpu import envs
+        mode = envs.LVT_MOE_BACKEND
+        if mode == "grouped":
+            return True
+        if mode == "dense":
+            return False
+        # auto: grouped pays off once the sorted token dim fills MXU tiles
+        # and the expert axis is unsharded.
+        from light_vllm_tpu.platforms import detect_platform
+        return (detect_platform().is_tpu and self.ep_axis is None
+                and T * self.top_k >= 256)
+
     def __call__(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """x [T, H] → [T, H]."""
         T, H = x.shape
@@ -59,6 +80,13 @@ class FusedMoE(Layer):
         router_logits = jnp.dot(x, params["router"],
                                 preferred_element_type=jnp.float32)
         weights, ids = topk_softmax(router_logits, k, self.renormalize)
+
+        if self._use_grouped(T):
+            from light_vllm_tpu.ops.grouped_matmul import moe_sorted_compute
+            return moe_sorted_compute(x, params["w13"], params["w2"],
+                                      weights, ids, top_k=k,
+                                      use_pallas=True)
+
         # sparse [T, E] combine matrix
         combine = jnp.zeros((T, E), jnp.float32)
         combine = combine.at[jnp.arange(T)[:, None], ids].add(weights)
