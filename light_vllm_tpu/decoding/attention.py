@@ -99,10 +99,9 @@ class PallasPagedAttnBackend(PagedAttnBackend):
     def attention(self, q, kv_pages, meta: DecodeAttnMetadata, *,
                   scale: float, sliding_window: Optional[int] = None,
                   logits_soft_cap: Optional[float] = None):
-        if (sliding_window is not None or logits_soft_cap is not None
-                or self.head_dim % 128 != 0):
-            # Kernel support lands later (sliding window / soft cap /
-            # sub-128 head dims); the jnp path is correct.
+        if self.head_dim % 128 != 0:
+            # Kernel support for sub-128 head dims lands later; the jnp
+            # path is correct.
             return super().attention(
                 q, kv_pages, meta, scale=scale,
                 sliding_window=sliding_window,
@@ -120,13 +119,15 @@ class PallasPagedAttnBackend(PagedAttnBackend):
         if D > 0:
             out_d = paged_attention_decode(
                 q[:D], kv_pages, meta.block_tables[:D],
-                meta.seq_lens[:D], page_size=self.block_size, scale=scale)
+                meta.seq_lens[:D], page_size=self.block_size, scale=scale,
+                sliding_window=sliding_window, soft_cap=logits_soft_cap)
             out_parts.append(out_d)
         if meta.num_prefill_seqs > 0:
             out_p = prefill_paged_attention(
                 q, kv_pages, meta.tile_seq, meta.tile_qstart,
                 meta.block_tables, meta.seq_lens, meta.ctx_lens,
-                meta.chunk_starts, page_size=self.block_size, scale=scale)
+                meta.chunk_starts, page_size=self.block_size, scale=scale,
+                sliding_window=sliding_window, soft_cap=logits_soft_cap)
             out_parts.append(out_p[D:])
         if not out_parts:
             return jnp.zeros_like(q)

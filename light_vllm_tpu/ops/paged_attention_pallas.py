@@ -54,6 +54,8 @@ def _decode_kernel(
     scale: float,
     kvh: int,
     seq_block: int,
+    sliding_window=None,
+    soft_cap=None,
 ):
     inst = pl.program_id(0)
     B = seq_block
@@ -66,14 +68,25 @@ def _decode_kernel(
     def num_pages_of(b):
         return (seq_len_of(b) + page_size - 1) // page_size
 
-    # max fetches across the block drives the shared loop
-    max_pages = num_pages_of(0)
+    def win_start_of(b):
+        """First kv position the (single, last-token) query may attend."""
+        if sliding_window is None:
+            return jnp.int32(0)
+        return jnp.maximum(seq_len_of(b) - sliding_window, 0)
+
+    def start_page_of(b):
+        return win_start_of(b) // page_size
+
+    # max fetches across the block drives the shared loop; out-of-window
+    # pages are never fetched (their physical blocks were rotated anyway).
+    max_span = num_pages_of(0) - start_page_of(0)
     for b in range(1, B):
-        max_pages = jnp.maximum(max_pages, num_pages_of(b))
-    num_fetches = (max_pages + pages_per_fetch - 1) // pages_per_fetch
+        max_span = jnp.maximum(max_span,
+                               num_pages_of(b) - start_page_of(b))
+    num_fetches = (max_span + pages_per_fetch - 1) // pages_per_fetch
 
     def dma(b, fetch_idx, slot, p):
-        page_idx = fetch_idx * pages_per_fetch + p
+        page_idx = start_page_of(b) + fetch_idx * pages_per_fetch + p
         page_id = block_tables_ref[inst * B + b, jnp.minimum(
             page_idx, block_tables_ref.shape[1] - 1)]
         return (pltpu.make_async_copy(kv_pages_hbm.at[page_id],
@@ -116,14 +129,18 @@ def _decode_kernel(
 
         wait_fetch(fetch_idx, slot)
 
-        base = fetch_idx * R
         for b in range(B):
             seq_len = seq_len_of(b)
+            base = (start_page_of(b) + fetch_idx * pages_per_fetch) \
+                * page_size
 
             @pl.when(base < seq_len)
             def _():
-                row_valid = (base + jax.lax.broadcasted_iota(
-                    jnp.int32, (R, 1), 0)) < seq_len
+                pos = base + jax.lax.broadcasted_iota(
+                    jnp.int32, (R, 1), 0)
+                row_valid = pos < seq_len
+                if sliding_window is not None:
+                    row_valid &= pos >= win_start_of(b)
                 kv = kv_buf[slot, b].reshape(R, 2 * kvh, d)
                 for j in range(kvh):
                     q = q_ref[b, j].astype(jnp.float32) * scale  # [G, d]
@@ -134,6 +151,8 @@ def _decode_kernel(
                     scores = jax.lax.dot_general(
                         q, k, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)  # [G, R]
+                    if soft_cap is not None:
+                        scores = soft_cap * jnp.tanh(scores / soft_cap)
                     scores = jnp.where(row_valid.reshape(1, R), scores,
                                        NEG_INF)
 
@@ -159,7 +178,8 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("page_size", "scale", "pages_per_fetch", "interpret"))
+    static_argnames=("page_size", "scale", "pages_per_fetch",
+                     "sliding_window", "soft_cap", "interpret"))
 def paged_attention_decode(
     q: jnp.ndarray,            # [S, h, d]
     kv_pages: jnp.ndarray,     # [num_slots, 2*kvh, d] combined cache
@@ -169,6 +189,8 @@ def paged_attention_decode(
     page_size: int,
     scale: float,
     pages_per_fetch: int = 8,
+    sliding_window=None,
+    soft_cap=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     S, h, d = q.shape
@@ -210,7 +232,9 @@ def paged_attention_decode(
     kernel = pl.pallas_call(
         functools.partial(_decode_kernel, page_size=page_size,
                           pages_per_fetch=pages_per_fetch, scale=scale,
-                          kvh=kvh, seq_block=B),
+                          kvh=kvh, seq_block=B,
+                          sliding_window=sliding_window,
+                          soft_cap=soft_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, kvh, G_pad, d), q.dtype),
         interpret=interpret,

@@ -56,6 +56,8 @@ def _prefill_kernel(
     pages_per_fetch: int,
     scale: float,
     kvh: int,
+    sliding_window=None,
+    soft_cap=None,
 ):
     t = pl.program_id(0)
     s = tile_seq_ref[t]
@@ -75,10 +77,20 @@ def _prefill_kernel(
         qdma.start()
 
         num_pages = (seq_len + page_size - 1) // page_size
-        num_fetches = (num_pages + pages_per_fetch - 1) // pages_per_fetch
+        if sliding_window is None:
+            start_page = jnp.int32(0)
+        else:
+            # Lowest kv position any row of this tile may attend: the
+            # tile's first query row is at abs position ctx + (q_start -
+            # seq_q_start); earlier pages hold only rotated-out history.
+            abs0 = ctx_len + (q_start - seq_q_start)
+            start_page = jnp.maximum(abs0 + 1 - sliding_window, 0) \
+                // page_size
+        num_fetches = (num_pages - start_page
+                       + pages_per_fetch - 1) // pages_per_fetch
 
         def dma(fetch_idx, slot, p):
-            page_idx = fetch_idx * pages_per_fetch + p
+            page_idx = start_page + fetch_idx * pages_per_fetch + p
             page_id = block_tables_ref[s, jnp.minimum(
                 page_idx, block_tables_ref.shape[1] - 1)]
             return (pltpu.make_async_copy(
@@ -125,12 +137,14 @@ def _prefill_kernel(
 
             wait_fetch(fetch_idx, slot)
 
-            base = fetch_idx * R
+            base = (start_page + fetch_idx * pages_per_fetch) * page_size
             col_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
             kv_valid = col_ids < seq_len
             col_rows = base + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
             causal = col_ids <= abs_pos          # [rows, R]
             mask = causal & kv_valid & q_valid
+            if sliding_window is not None:
+                mask &= col_ids > abs_pos - sliding_window
 
             kv = kv_buf[slot]  # [R, 2*kvh, d]
             for j in range(kvh):
@@ -141,6 +155,8 @@ def _prefill_kernel(
                 scores = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [rows, R]
+                if soft_cap is not None:
+                    scores = soft_cap * jnp.tanh(scores / soft_cap)
                 scores = jnp.where(mask, scores, NEG_INF)
 
                 m_prev = m_ref[j, :, :1]
@@ -170,7 +186,8 @@ def _prefill_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("page_size", "scale", "pages_per_fetch", "interpret"))
+    static_argnames=("page_size", "scale", "pages_per_fetch",
+                     "sliding_window", "soft_cap", "interpret"))
 def prefill_paged_attention(
     q: jnp.ndarray,            # [Tpad, h, d]; Tpad % TILE_Q == 0
     kv_pages: jnp.ndarray,     # [num_slots, 2*kvh, d]
@@ -184,6 +201,8 @@ def prefill_paged_attention(
     page_size: int,
     scale: float,
     pages_per_fetch: int = 8,
+    sliding_window=None,
+    soft_cap=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     Tpad, h, d = q.shape
@@ -225,7 +244,8 @@ def prefill_paged_attention(
     kernel = pl.pallas_call(
         functools.partial(_prefill_kernel, page_size=page_size,
                           pages_per_fetch=pages_per_fetch, scale=scale,
-                          kvh=kvh),
+                          kvh=kvh, sliding_window=sliding_window,
+                          soft_cap=soft_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tpad, kvh, G_pad, d), q.dtype),
         interpret=interpret,

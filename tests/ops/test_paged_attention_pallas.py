@@ -118,3 +118,102 @@ def test_prefill_kernel_matches_reference(h, kvh, d, rng):
     mask = seq_ids < S - 1
     np.testing.assert_allclose(np.asarray(out)[mask], np.asarray(ref)[mask],
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("window,cap", [(32, None), (None, 20.0),
+                                        (32, 20.0)])
+def test_decode_kernel_sliding_window_soft_cap(window, cap, rng):
+    h, kvh, d, page_size = 4, 2, 128, 16
+    S, max_pages, num_blocks = 4, 16, 96
+    seq_lens = np.array([1, 17, 60, 200], dtype=np.int32)
+
+    q = rng.standard_normal((S, h, d), dtype=np.float32)
+    kv_pages = rng.standard_normal((num_blocks * page_size, 2 * kvh, d),
+                                   dtype=np.float32)
+    block_tables = np.zeros((S, max_pages), dtype=np.int32)
+    nb = 1
+    for s in range(S):
+        n = -(-int(seq_lens[s]) // page_size)
+        block_tables[s, :n] = np.arange(nb, nb + n)
+        nb += n
+
+    scale = d ** -0.5
+    seq_ids = np.arange(S, dtype=np.int32)
+    positions = seq_lens - 1
+    ref = ragged_paged_attention_ref(
+        jnp.asarray(q), jnp.asarray(kv_pages),
+        jnp.asarray(block_tables), jnp.asarray(seq_lens),
+        jnp.asarray(seq_ids), jnp.asarray(positions),
+        page_size, scale=scale, sliding_window=window,
+        logits_soft_cap=cap)
+    out = paged_attention_decode(
+        jnp.asarray(q), jnp.asarray(kv_pages),
+        jnp.asarray(block_tables), jnp.asarray(seq_lens),
+        page_size=page_size, scale=scale, pages_per_fetch=2,
+        sliding_window=window, soft_cap=cap, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("window,cap", [(48, None), (None, 30.0)])
+def test_prefill_kernel_sliding_window_soft_cap(window, cap, rng):
+    from light_vllm_tpu.ops.prefill_attention_pallas import (
+        TILE_Q, prefill_paged_attention)
+
+    h, kvh, d, page_size = 4, 2, 128, 16
+    num_blocks = 96
+    specs = [(0, 140), (97, 100)]  # fresh + chunked continuation
+    S, max_pages = 4, 16
+    chunk_starts, tiles = [], []
+    cursor = 0
+    for s, (ctx, qn) in enumerate(specs):
+        chunk_starts.append(cursor)
+        for t in range(-(-qn // TILE_Q)):
+            tiles.append((s, cursor + t * TILE_Q))
+        cursor += -(-qn // TILE_Q) * TILE_Q
+    T = cursor
+
+    q = rng.standard_normal((T, h, d), dtype=np.float32)
+    kv_pages = rng.standard_normal((num_blocks * page_size, 2 * kvh, d),
+                                   dtype=np.float32)
+    block_tables = np.zeros((S, max_pages), dtype=np.int32)
+    seq_lens = np.zeros(S, dtype=np.int32)
+    ctx_lens = np.zeros(S, dtype=np.int32)
+    cs_arr = np.zeros(S, dtype=np.int32)
+    seq_ids = np.full(T, S - 1, dtype=np.int32)
+    positions = np.zeros(T, dtype=np.int32)
+    nb = 1
+    for s, (ctx, qn) in enumerate(specs):
+        seq_lens[s] = ctx + qn
+        ctx_lens[s] = ctx
+        cs_arr[s] = chunk_starts[s]
+        n = -(-int(seq_lens[s]) // page_size)
+        block_tables[s, :n] = np.arange(nb, nb + n)
+        nb += n
+        for i in range(qn):
+            seq_ids[chunk_starts[s] + i] = s
+            positions[chunk_starts[s] + i] = ctx + i
+
+    NT = 4
+    tile_seq = np.full(NT, -1, dtype=np.int32)
+    tile_qstart = np.zeros(NT, dtype=np.int32)
+    for i, (s, qs) in enumerate(tiles):
+        tile_seq[i], tile_qstart[i] = s, qs
+
+    scale = d ** -0.5
+    ref = ragged_paged_attention_ref(
+        jnp.asarray(q), jnp.asarray(kv_pages),
+        jnp.asarray(block_tables), jnp.asarray(seq_lens),
+        jnp.asarray(seq_ids), jnp.asarray(positions), page_size,
+        scale=scale, sliding_window=window, logits_soft_cap=cap)
+    out = prefill_paged_attention(
+        jnp.asarray(q), jnp.asarray(kv_pages),
+        jnp.asarray(tile_seq), jnp.asarray(tile_qstart),
+        jnp.asarray(block_tables), jnp.asarray(seq_lens),
+        jnp.asarray(ctx_lens), jnp.asarray(cs_arr),
+        page_size=page_size, scale=scale, pages_per_fetch=2,
+        sliding_window=window, soft_cap=cap, interpret=True)
+    mask = seq_ids < S - 1
+    np.testing.assert_allclose(np.asarray(out)[mask],
+                               np.asarray(ref)[mask],
+                               rtol=2e-3, atol=2e-3)
