@@ -13,4 +13,10 @@ DECODE_ONLY_MODELS = {
     "MixtralForCausalLM": (
         "light_vllm_tpu.models.mixtral:MixtralForCausalLM",
         "light_vllm_tpu.decode_only.workflow:DecodeOnlyWorkflow"),
+    "GemmaForCausalLM": (
+        "light_vllm_tpu.models.gemma:GemmaForCausalLM",
+        "light_vllm_tpu.decode_only.workflow:DecodeOnlyWorkflow"),
+    "Gemma2ForCausalLM": (
+        "light_vllm_tpu.models.gemma:Gemma2ForCausalLM",
+        "light_vllm_tpu.decode_only.workflow:DecodeOnlyWorkflow"),
 }

@@ -23,6 +23,7 @@ def dense_attention(
     causal: bool = False,
     scale: Optional[float] = None,
     logits_soft_cap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
 ) -> jnp.ndarray:
     """Batched dense attention for encoder / prefill-only workflows."""
     B, L, h, d = q.shape
@@ -40,6 +41,9 @@ def dense_attention(
     if causal:
         causal_m = jnp.tril(jnp.ones((L, L), bool))[None, None]
         m = m & causal_m
+    if sliding_window is not None:
+        i = jnp.arange(L)[:, None]
+        m = m & (jnp.arange(L)[None, :] > i - sliding_window)[None, None]
     scores = jnp.where(m, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)
