@@ -101,6 +101,13 @@ class DecodingScheduler(Scheduler):
         budget = DecodingSchedulingBudget(
             self.scheduler_config.max_num_batched_tokens,
             self.scheduler_config.max_num_seqs)
+        # Seed with already-live sequences so prompt admission respects
+        # max_num_seqs across steps, not per schedule() call (reference:
+        # vLLM budget semantics — max_num_seqs caps CONCURRENT seqs; without
+        # this the running set grows unboundedly and every new high-water
+        # mark compiles a fresh decode executable).
+        budget.num_curr_seqs = sum(
+            g.num_seqs(SequenceStatus.RUNNING) for g in self.running)
         if self.scheduler_config.enable_chunked_prefill:
             out = self._schedule_chunked(budget)
         else:

@@ -293,6 +293,7 @@ class DecodingModelRunner:
                     model_input.P, K, model_input.NT, model_input.max_out,
                     model_input.all_greedy)
             if mkey not in self._step_cache:
+                logger.info("building multi-step executable %s", mkey)
                 self._step_cache[mkey] = self._make_multistep_fn(
                     model_input.use_topkp, model_input.S, model_input.P, K,
                     self.page_size, model_input.NT, model_input.max_out,
@@ -310,6 +311,8 @@ class DecodingModelRunner:
                model_input.P, model_input.max_out, model_input.prompt_len,
                model_input.all_greedy)
         if key not in self._step_cache:
+            logger.info("building step executable (pen,topkp,nlp,hpt,dr,"
+                        "pref,T,S,NT,P,mo,pl,gr)=%s", key)
             self._step_cache[key] = self._make_step_fn(*key)
         step_fn = self._step_cache[key]
         (packed, topk_lp, topk_ids, kv_caches) = step_fn(
