@@ -17,6 +17,7 @@
 #include <map>
 #include <tuple>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -35,6 +36,9 @@ struct Allocator {
   std::unordered_map<Hash, BlockId> cached;
   std::unordered_map<BlockId, Hash> hash_of;
   std::unordered_map<BlockId, int32_t> num_hashed;
+  // Blocks whose KV a completed forward pass has written; lookups may only
+  // hit computed blocks (mirrors block_manager.py computed gate).
+  std::unordered_set<BlockId> computed;
   // evictable (refcount-0 cached) blocks: key (last_accessed,
   // -num_hashed_tokens, id) → LRU order with longest-chain tiebreak.
   std::map<std::tuple<int64_t, int32_t, BlockId>, BlockId> evictor;
@@ -100,6 +104,7 @@ int32_t lvt_allocate(void* h) {
       a->hash_of.erase(hit);
     }
     a->num_hashed.erase(id);
+    a->computed.erase(id);
   } else {
     return -1;  // out of blocks
   }
@@ -129,6 +134,7 @@ void lvt_free(void* h, int32_t id) {
       a->cached.count(hit->second) && a->cached[hit->second] == id) {
     evictor_add(a, id, ++a->tick, a->num_hashed[id]);
   } else {
+    a->computed.erase(id);
     a->free_list.push_back(id);
   }
 }
@@ -136,12 +142,17 @@ void lvt_free(void* h, int32_t id) {
 int32_t lvt_lookup(void* h, int64_t content_hash) {
   auto* a = static_cast<Allocator*>(h);
   auto it = a->cached.find(content_hash);
-  if (it == a->cached.end()) {
+  if (it == a->cached.end() || !a->computed.count(it->second)) {
     ++a->misses;
     return -1;
   }
   ++a->hits;
   return it->second;
+}
+
+void lvt_mark_computed(void* h, int32_t id) {
+  auto* a = static_cast<Allocator*>(h);
+  a->computed.insert(id);
 }
 
 void lvt_touch(void* h, int32_t id) {

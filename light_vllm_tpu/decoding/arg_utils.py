@@ -10,6 +10,33 @@ from light_vllm_tpu.decoding.config import (DecodingEngineConfig,
                                             DecodingSchedulerConfig)
 
 
+def _cache_level_sliding_window(model_config) -> Optional[int]:
+    """Window size for *cache-level* block rotation, or None.
+
+    Only models that apply the window on EVERY layer may rotate/reuse KV
+    blocks past the window at the cache level (Mistral-style). Interleaved
+    models (Gemma2: window on even layers, global on odd) must keep the
+    full context resident — their global layers read all of it — and apply
+    the window per-layer inside attention only (the model class declares
+    `interleaved_sliding_window = True`; upstream analog: vLLM disables
+    cache-level sliding window for interleaved attention).
+    """
+    window = getattr(model_config.hf_config, "sliding_window", None)
+    if window is None:
+        return None
+    try:
+        from light_vllm_tpu.core.registry import ModelRegistry
+        from light_vllm_tpu.core.workflow import lazy_import
+
+        model_cls = lazy_import(
+            ModelRegistry.get_model_path(model_config.architectures))
+        if getattr(model_cls, "interleaved_sliding_window", False):
+            return None
+    except Exception:  # unknown arch: keep conservative full-context cache
+        return None
+    return window
+
+
 @dataclass
 class DecodingEngineArgs(EngineArgs):
     # KV cache
@@ -45,8 +72,7 @@ class DecodingEngineArgs(EngineArgs):
             cache_dtype=self.kv_cache_dtype,
             enable_prefix_caching=self.enable_prefix_caching,
             num_device_blocks_override=self.num_device_blocks_override,
-            sliding_window=getattr(model_config.hf_config, "sliding_window",
-                                   None))
+            sliding_window=_cache_level_sliding_window(model_config))
         scheduler_config = DecodingSchedulerConfig(
             max_num_requests=self.max_num_seqs,
             max_model_len=model_config.max_model_len,

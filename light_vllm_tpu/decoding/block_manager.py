@@ -120,6 +120,9 @@ class NaiveBlockAllocator:
     def touch(self, block_id: BlockId, now: int) -> None:
         pass
 
+    def mark_computed(self, block_id: BlockId) -> None:
+        pass
+
 
 class PrefixCachingBlockAllocator(NaiveBlockAllocator):
     """Content-hash chained block reuse with LRU eviction (reference:
@@ -133,6 +136,15 @@ class PrefixCachingBlockAllocator(NaiveBlockAllocator):
         self.cached: Dict[int, BlockId] = {}          # hash -> block
         self.hash_of: Dict[BlockId, int] = {}
         self.num_hashed: Dict[BlockId, int] = {}
+        # Blocks whose KV has actually been written by a forward pass.
+        # mark_full publishes the content hash at *allocation* time (so
+        # duplicate in-flight prefills dedupe onto one block), but a lookup
+        # may only skip compute on blocks marked computed — otherwise a
+        # second request can hit a block whose KV was never written
+        # (chunked prefill / recompute preemption mid-prefill) and read
+        # zero pages (reference analog: ComputedBlocksTracker,
+        # prefix_caching_block.py:839).
+        self.computed: Set[BlockId] = set()
         self.evictor = LRUEvictor()
         self.hits = 0
         self.misses = 0
@@ -150,6 +162,7 @@ class PrefixCachingBlockAllocator(NaiveBlockAllocator):
             if old_hash is not None:
                 self.cached.pop(old_hash, None)
             self.num_hashed.pop(bid, None)
+            self.computed.discard(bid)
         else:
             raise RuntimeError("out of KV blocks")
         self.refcount[bid] = 1
@@ -157,11 +170,14 @@ class PrefixCachingBlockAllocator(NaiveBlockAllocator):
 
     def lookup(self, content_hash: int) -> Optional[BlockId]:
         bid = self.cached.get(content_hash)
-        if bid is None:
+        if bid is None or bid not in self.computed:
             self.misses += 1
             return None
         self.hits += 1
         return bid
+
+    def mark_computed(self, block_id: BlockId) -> None:
+        self.computed.add(block_id)
 
     def touch(self, block_id: BlockId, now: int) -> None:
         """Take a reference on a cached block (maybe resurrect from
@@ -198,6 +214,7 @@ class PrefixCachingBlockAllocator(NaiveBlockAllocator):
             # Keep content resident; evictable.
             self.evictor.add(block_id, self._now(), self.num_hashed[block_id])
         else:
+            self.computed.discard(block_id)
             self.free_list.append(block_id)
 
     _tick = 0
@@ -233,11 +250,22 @@ class BlockTable:
         # number of tokens of this seq known to be in cached (computed)
         # blocks at allocation time (prefix-cache hit prefix length)
         self.num_computed_prefix_tokens = 0
+        # Which allocator owns these block ids. Recorded here rather than
+        # dispatched on seq.status so aborts/frees are correct regardless
+        # of when the caller mutates the status (a swapped group aborted
+        # after its status changed used to free CPU ids into the device
+        # allocator).
+        self.on_device = True
+        # blocks[:num_computed_blocks] have had their KV written by a
+        # completed forward pass (prefix-caching publish gate).
+        self.num_computed_blocks = 0
 
     def copy(self) -> "BlockTable":
         bt = BlockTable()
         bt.blocks = list(self.blocks)
         bt.num_computed_prefix_tokens = self.num_computed_prefix_tokens
+        bt.on_device = self.on_device
+        bt.num_computed_blocks = self.num_computed_blocks
         return bt
 
 
@@ -255,6 +283,10 @@ class BlockSpaceManager:
         # block 0 reserved as null page
         self.num_device_blocks = num_device_blocks - 1
         self.num_cpu_blocks = num_cpu_blocks
+        if enable_prefix_caching and sliding_window is not None:
+            raise ValueError(
+                "prefix caching is incompatible with sliding-window KV "
+                "rotation (rotated blocks invalidate content hashes)")
         self.enable_prefix_caching = enable_prefix_caching
         self.sliding_window = sliding_window
         self.device_allocator = make_block_allocator(
@@ -272,10 +304,13 @@ class BlockSpaceManager:
     # --- allocate (prefill admission) -------------------------------------
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
         seq = seq_group.get_seqs(SequenceStatus.WAITING)[0]
+        # Admission must use the true number of blocks allocate() takes:
+        # the full logical count even under sliding window. (The reference
+        # reuses prompt blocks modulo the window, but its prefill attention
+        # reads fresh K/V tensors — ours reads the paged cache, so aliased
+        # slots inside one prefill scatter would corrupt in-window context.
+        # We allocate the whole prompt and rotate only during decode.)
         num_needed = seq.num_logical_blocks()
-        if self.sliding_window is not None:
-            num_needed = min(num_needed,
-                             self.sliding_window // self.block_size + 1)
         free = self.device_allocator.get_num_free_blocks()
         if num_needed > self.num_device_blocks:
             return AllocStatus.NEVER
@@ -345,8 +380,17 @@ class BlockSpaceManager:
             window_blocks = self.sliding_window // self.block_size + 1
             if len(bt.blocks) >= window_blocks and needed > len(bt.blocks):
                 # Rotate: reuse the block that slid out of the window
-                # (reference: block_manager_v1.py:441-445).
-                bt.blocks.append(bt.blocks[len(bt.blocks) % window_blocks])
+                # (reference: block_manager_v1.py:441-445). incr keeps the
+                # refcount balanced with free(), which releases every table
+                # entry including duplicates.
+                reused = bt.blocks[len(bt.blocks) % window_blocks]
+                self.device_allocator.incr(reused)
+                bt.blocks.append(reused)
+                return cows
+            if len(bt.blocks) >= window_blocks:
+                # Rotating tables carry duplicate entries, so the CoW
+                # refcount test below would misfire; forks are rejected
+                # under sliding window (see fork()), so no CoW is needed.
                 return cows
         while len(bt.blocks) < needed:
             bt.blocks.append(self.device_allocator.allocate())
@@ -373,6 +417,11 @@ class BlockSpaceManager:
         return cows
 
     def fork(self, parent: Sequence, child: Sequence) -> None:
+        if self.sliding_window is not None:
+            raise NotImplementedError(
+                "fork (n>1) is not supported with sliding-window KV "
+                "rotation: rotated tables alias blocks, so the CoW "
+                "refcount test cannot tell forks from self-aliases")
         bt = self.block_tables[parent.seq_id]
         self.block_tables[child.seq_id] = bt.copy()
         for bid in bt.blocks:
@@ -409,6 +458,7 @@ class BlockSpaceManager:
             for cpu_bid in bt.blocks:
                 self.cpu_allocator.free(cpu_bid)
             bt.blocks = new_blocks
+            bt.on_device = True
         return pairs
 
     def can_swap_out(self, seq_group: SequenceGroup) -> bool:
@@ -435,6 +485,7 @@ class BlockSpaceManager:
             for dev_bid in bt.blocks:
                 self.device_allocator.free(dev_bid)
             bt.blocks = new_blocks
+            bt.on_device = False
         return pairs
 
     # --- free -------------------------------------------------------------
@@ -442,8 +493,12 @@ class BlockSpaceManager:
         bt = self.block_tables.pop(seq.seq_id, None)
         if bt is None:
             return
-        allocator = self.device_allocator \
-            if seq.status != SequenceStatus.SWAPPED else self.cpu_allocator
+        # Dispatch on where the blocks actually live (recorded at swap
+        # time), NOT on seq.status — an abort may have already overwritten
+        # the status, and freeing CPU ids into the device allocator
+        # corrupts refcounts of live sequences.
+        allocator = self.device_allocator if bt.on_device \
+            else self.cpu_allocator
         for bid in bt.blocks:
             allocator.free(bid)
 
@@ -456,6 +511,21 @@ class BlockSpaceManager:
 
     def get_num_computed_prefix_tokens(self, seq: Sequence) -> int:
         return self.block_tables[seq.seq_id].num_computed_prefix_tokens
+
+    def mark_computed_blocks(self, seq: Sequence) -> None:
+        """Publish blocks fully covered by the forward pass that just
+        completed: only now may a prefix-cache lookup skip their tokens
+        (reference: mark_blocks_as_computed / ComputedBlocksTracker)."""
+        if not self.enable_prefix_caching:
+            return
+        bt = self.block_tables.get(seq.seq_id)
+        if bt is None:
+            return
+        n_full = min(seq.data.get_num_computed_tokens() // self.block_size,
+                     len(bt.blocks))
+        for i in range(bt.num_computed_blocks, n_full):
+            self.device_allocator.mark_computed(bt.blocks[i])
+        bt.num_computed_blocks = max(bt.num_computed_blocks, n_full)
 
     def mark_prefix_consumed(self, seq: Sequence) -> None:
         self.block_tables[seq.seq_id].num_computed_prefix_tokens = 0

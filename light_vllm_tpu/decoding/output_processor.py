@@ -34,7 +34,11 @@ class StopChecker:
         last_token = seq.get_last_token_id()
 
         if out_len < params.min_tokens:
-            pass  # penalties keep EOS unlikely; explicit stop checks skipped
+            # EOS / stop-token ids are banned device-side in the sampler
+            # while under min_tokens (ops/sampling.apply_min_tokens_ban),
+            # so they cannot appear here; stop checks are skipped to match
+            # (reference: stop_checker.py min_tokens gate).
+            pass
         else:
             if (not params.ignore_eos and seq.eos_token_id is not None
                     and last_token == seq.eos_token_id):

@@ -235,14 +235,15 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             [row["query_len"] for row in refs] for refs in meta_row_refs]
 
         (seq_f32, top_k_arr, seeds, out_tokens, prompt_tokens, use_penalties,
-         use_topkp, all_greedy) = self._build_sampling(all_rows, S)
+         use_topkp, all_greedy, ban_tokens, ban_active) = \
+            self._build_sampling(all_rows, S)
         num_logprobs = max(
             [r["meta"].sampling_params.logprobs or 0 for r in all_rows] + [0])
 
         tok_i32 = np.stack([input_ids, pos_arr, slot_arr, seq_ids])
         seq_i32 = np.stack([seq_lens, ctx_lens, chunk_starts, chunk_lens,
                             logits_idx, top_k_arr,
-                            seeds.view(np.int32)])
+                            seeds.view(np.int32), ban_active])
         tiles = np.stack([tile_seq, tile_qstart])
 
         # One flat i32 blob = one host→device transfer per step (transfer
@@ -252,6 +253,8 @@ class DecodingModelInputBuilder(ModelInputBuilder):
                  tiles.ravel(), block_tables.ravel(), out_tokens.ravel()]
         if prompt_tokens is not None:
             parts.append(prompt_tokens.ravel())
+        if ban_tokens is not None:
+            parts.append(ban_tokens.ravel())
         blob = np.concatenate(parts)
 
         model_input = DecodingModelInput(
@@ -265,6 +268,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             decode_region=decode_region, num_prefill_seqs=n_prefill,
             num_logprobs=num_logprobs, use_penalties=use_penalties,
             use_topkp=use_topkp, all_greedy=all_greedy,
+            ban_len=0 if ban_tokens is None else ban_tokens.shape[1],
             multi_step=scheduler_output.multi_step if n_prefill == 0 else 1)
         worker_input = DecodingWorkerInput(
             blocks_to_swap_in=scheduler_output.blocks_to_swap_in,
@@ -303,6 +307,31 @@ class DecodingModelInputBuilder(ModelInputBuilder):
                 [len(r["data"].prompt_token_ids) for r in seq_rows] + [1]))
             prompt_tokens = np.full((S, max_in), self.vocab_size,
                                     dtype=np.int32)
+        # min_tokens: rows still under min_tokens get their stop tokens
+        # (EOS + stop_token_ids) banned device-side (reference:
+        # sampler.py _apply_min_tokens_penalty).
+        ban_rows = {}
+        for row in seq_rows:
+            sp = row["meta"].sampling_params
+            if sp.min_tokens <= 0:
+                continue
+            if len(row["data"].output_token_ids) >= sp.min_tokens:
+                continue
+            ids = list(sp.stop_token_ids)
+            eos = row["meta"].eos_token_id
+            if not sp.ignore_eos and eos is not None:
+                ids.append(eos)
+            if ids:
+                ban_rows[row["slot"]] = ids
+        ban_tokens = None
+        ban_active = np.zeros(S, dtype=np.int32)
+        if ban_rows:
+            ban_w = next_power_of_2(max(len(v) for v in ban_rows.values()))
+            ban_tokens = np.full((S, ban_w), -1, dtype=np.int32)
+            for slot, ids in ban_rows.items():
+                ban_tokens[slot, :len(ids)] = ids
+                ban_active[slot] = 1
+
         rng = np.random.default_rng()
         for row in seq_rows:
             i = row["slot"]
@@ -335,4 +364,4 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         seq_f32 = np.stack([temperature, top_p, min_p, presence, frequency,
                             repetition])
         return (seq_f32, top_k, seeds, out_tokens, prompt_tokens,
-                use_penalties, use_topkp, all_greedy)
+                use_penalties, use_topkp, all_greedy, ban_tokens, ban_active)

@@ -268,6 +268,11 @@ class DecodingScheduler(Scheduler):
             # penalties need per-token host state; logprob rings and
             # mid-block stop-string truncation land later
             return 1
+        if sp.min_tokens > 0 and any(
+                s.get_output_len() < sp.min_tokens
+                for s in seq_group.get_seqs(SequenceStatus.RUNNING)):
+            # the min_tokens stop-token ban is per-token host-refreshed
+            return 1
         return self.num_scheduler_steps
 
     # ---------------------------------------------------- swapped schedule
@@ -424,7 +429,8 @@ class DecodingScheduler(Scheduler):
                 request_id=g.request_id, is_prompt=is_prompt,
                 seq_data=seq_data, sampling_params=g.sampling_params,
                 block_tables=block_tables, do_sample=do_sample,
-                token_chunk_size=sched.token_chunk_size))
+                token_chunk_size=sched.token_chunk_size,
+                eos_token_id=g.get_seqs()[0].eos_token_id))
 
     # ------------------------------------------------------------- cleanup
     def _ignore_group(self, seq_group: SequenceGroup,
@@ -436,9 +442,12 @@ class DecodingScheduler(Scheduler):
 
     def _abort_group(self, seq_group: SequenceGroup) -> None:
         for seq in seq_group.get_seqs():
+            # Free before mutating status (free() dispatches on the block
+            # table's recorded location; keeping the status intact here is
+            # belt-and-braces for any status-sensitive bookkeeping).
+            self.block_manager.free(seq)
             if not seq.is_finished():
                 seq.status = SequenceStatus.FINISHED_ABORTED
-            self.block_manager.free(seq)
         self.requests.discard(seq_group.request_id)
         self.aborted_requests.discard(seq_group.request_id)
 
@@ -456,6 +465,10 @@ class DecodingScheduler(Scheduler):
             g = sched.seq_group
             g.busy = False
             for seq in g.get_seqs():
+                # The forward pass covering this group's scheduled tokens
+                # has completed: publish its now-written full blocks to the
+                # prefix cache before any free moves them to the evictor.
+                self.block_manager.mark_computed_blocks(seq)
                 if seq.is_finished():
                     self.block_manager.free(seq)
         still_running = deque()

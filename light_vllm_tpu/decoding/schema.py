@@ -286,6 +286,7 @@ class SequenceGroupMetadata:
     do_sample: bool = True
     token_chunk_size: int = 0
     computed_block_nums: Optional[List[int]] = None
+    eos_token_id: Optional[int] = None  # for the min_tokens sampler ban
 
 
 # --- execute IO -----------------------------------------------------------
@@ -326,6 +327,7 @@ class DecodingModelInput(ModelInput):
     max_out: int = 0
     has_prompt_tokens: bool = False
     prompt_len: int = 0
+    ban_len: int = 0                 # min_tokens stop-token ban width (0=off)
     # host-only metadata (not transferred):
     num_seqs: int = 0
     num_decode_tokens: int = 0       # real decode tokens

@@ -141,7 +141,8 @@ class DecodingModelRunner:
                       num_logprobs: int, has_prompt_tokens: bool,
                       decode_region: int, num_prefill_seqs: int,
                       T: int, S: int, NT: int, P: int, max_out: int,
-                      prompt_len: int, all_greedy: bool = False):
+                      prompt_len: int, ban_len: int = 0,
+                      all_greedy: bool = False):
         model = self.model
 
         def step(params, kv_caches, blob):
@@ -156,7 +157,7 @@ class DecodingModelRunner:
                 return part.reshape(shape)
 
             tok_i32 = take(4 * T, (4, T))
-            seq_i32 = take(7 * S, (7, S))
+            seq_i32 = take(8 * S, (8, S))
             seq_f32 = jax.lax.bitcast_convert_type(
                 take(6 * S, (6, S)), jnp.float32)
             tiles = take(2 * NT, (2, NT))
@@ -164,6 +165,8 @@ class DecodingModelRunner:
             output_tokens = take(S * max_out, (S, max_out))
             prompt_tokens = take(S * prompt_len, (S, prompt_len)) \
                 if has_prompt_tokens else None
+            ban_tokens = take(S * ban_len, (S, ban_len)) \
+                if ban_len else None
 
             input_ids, positions, slot_mapping, seq_ids = (
                 tok_i32[0], tok_i32[1], tok_i32[2], tok_i32[3])
@@ -171,6 +174,7 @@ class DecodingModelRunner:
              top_k, seeds_i) = (seq_i32[0], seq_i32[1], seq_i32[2],
                                 seq_i32[3], seq_i32[4], seq_i32[5],
                                 seq_i32[6])
+            ban_active = seq_i32[7]
             (temperature, top_p, min_p, presence, frequency,
              repetition) = (seq_f32[0], seq_f32[1], seq_f32[2], seq_f32[3],
                             seq_f32[4], seq_f32[5])
@@ -190,6 +194,7 @@ class DecodingModelRunner:
             res = sampling_ops.sample(
                 logits, temperature, top_k, top_p, min_p, presence,
                 frequency, repetition, output_tokens, prompt_tokens, seeds,
+                ban_tokens, ban_active if ban_len else None,
                 use_penalties=use_penalties, use_topkp=use_topkp,
                 num_logprobs=num_logprobs, all_greedy=all_greedy)
             # Pack the hot outputs into one [2, S] i32 buffer → one
@@ -222,7 +227,7 @@ class DecodingModelRunner:
                 return part.reshape(shape)
 
             tok_i32 = take(4 * S, (4, S))
-            seq_i32 = take(7 * S, (7, S))
+            seq_i32 = take(8 * S, (8, S))
             seq_f32 = jax.lax.bitcast_convert_type(
                 take(6 * S, (6, S)), jnp.float32)
             take(2 * NT, (2, NT))  # tiles (unused on the pure-decode path)
@@ -309,10 +314,10 @@ class DecodingModelRunner:
                min(model_input.num_prefill_seqs, 1),
                model_input.T, model_input.S, model_input.NT,
                model_input.P, model_input.max_out, model_input.prompt_len,
-               model_input.all_greedy)
+               model_input.ban_len, model_input.all_greedy)
         if key not in self._step_cache:
             logger.info("building step executable (pen,topkp,nlp,hpt,dr,"
-                        "pref,T,S,NT,P,mo,pl,gr)=%s", key)
+                        "pref,T,S,NT,P,mo,pl,ban,gr)=%s", key)
             self._step_cache[key] = self._make_step_fn(*key)
         step_fn = self._step_cache[key]
         (packed, topk_lp, topk_ids, kv_caches) = step_fn(

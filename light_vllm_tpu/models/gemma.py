@@ -279,3 +279,7 @@ class GemmaForCausalLM:
 
 class Gemma2ForCausalLM(GemmaForCausalLM):
     gemma2 = True
+    # Window applies only on even layers; odd layers are global attention,
+    # so KV blocks must never be rotated/reused at the cache level (see
+    # decoding/arg_utils._cache_level_sliding_window).
+    interleaved_sliding_window = True

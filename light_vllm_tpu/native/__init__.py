@@ -31,9 +31,10 @@ def _load() -> Optional[ctypes.CDLL]:
     if not envs.LVT_USE_NATIVE_RUNTIME:
         return None
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", _CSRC], check=True,
-                           capture_output=True, timeout=120)
+        # Always invoke make: a no-op when up to date, and it rebuilds a
+        # stale .so after source changes (the .so is not checked in).
+        subprocess.run(["make", "-C", _CSRC], check=True,
+                       capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.lvt_allocator_create.restype = ctypes.c_void_p
         lib.lvt_allocator_create.argtypes = [ctypes.c_int32, ctypes.c_int32,
@@ -51,6 +52,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lvt_lookup.restype = ctypes.c_int32
         lib.lvt_lookup.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.lvt_touch.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.lvt_mark_computed.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         lib.lvt_mark_full.restype = ctypes.c_int32
         lib.lvt_mark_full.argtypes = [ctypes.c_void_p, ctypes.c_int32,
                                       ctypes.c_int64, ctypes.c_int32]
@@ -116,6 +118,9 @@ class NativeBlockAllocator:
 
     def touch(self, block_id: int, now: int = 0) -> None:
         self._lib.lvt_touch(self._h, block_id)
+
+    def mark_computed(self, block_id: int) -> None:
+        self._lib.lvt_mark_computed(self._h, block_id)
 
     def mark_full(self, block_id: int, content_hash: int,
                   num_hashed_tokens: int, now: int = 0) -> int:

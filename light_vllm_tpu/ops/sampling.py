@@ -89,6 +89,22 @@ def apply_top_k_top_p_min_p(logits: jnp.ndarray, top_k: jnp.ndarray,
     return logits
 
 
+def apply_min_tokens_ban(logits: jnp.ndarray, ban_tokens: jnp.ndarray,
+                         ban_active: jnp.ndarray) -> jnp.ndarray:
+    """Mask EOS/stop token ids while a row hasn't produced min_tokens yet
+    (reference: sampler.py _apply_min_tokens_penalty).
+
+    ban_tokens [S, B] i32 padded with -1; ban_active [S] i32 (1 = still
+    under min_tokens).
+    """
+    S, V = logits.shape
+    rows = jnp.arange(S, dtype=jnp.int32)[:, None]
+    cols = jnp.clip(ban_tokens, 0, V - 1)
+    delta = jnp.where((ban_tokens >= 0) & (ban_active[:, None] > 0),
+                      NEG_INF, 0.0)
+    return logits.at[rows, cols].add(delta)
+
+
 @partial(jax.jit, static_argnames=("use_penalties", "use_topkp",
                                    "num_logprobs", "all_greedy",
                                    "need_chosen_logprobs"))
@@ -100,6 +116,8 @@ def sample(logits: jnp.ndarray,
            output_tokens: jnp.ndarray,
            prompt_tokens: Optional[jnp.ndarray],
            seeds: jnp.ndarray,
+           ban_tokens: Optional[jnp.ndarray] = None,
+           ban_active: Optional[jnp.ndarray] = None,
            *, use_penalties: bool, use_topkp: bool,
            num_logprobs: int = 0, all_greedy: bool = False,
            need_chosen_logprobs: bool = True) -> SampleResult:
@@ -113,14 +131,19 @@ def sample(logits: jnp.ndarray,
     if use_penalties:
         logits = apply_penalties(logits, output_tokens, prompt_tokens,
                                  presence, frequency, repetition)
+    if ban_tokens is not None:
+        logits = apply_min_tokens_ban(logits, ban_tokens, ban_active)
 
     greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     if all_greedy:
         next_tokens = greedy_tokens
+        final_logits = logits  # greedy logprobs are reported at T=1
     else:
-        temp = jnp.maximum(temperature, 1e-6)[:, None]
-        scaled = logits / temp
+        # Greedy rows keep T=1 so their reported logprobs match the raw
+        # distribution (reference: temperature forced to 1.0 for greedy).
+        eff_temp = jnp.where(temperature < 1e-5, 1.0, temperature)[:, None]
+        scaled = logits / eff_temp
         if use_topkp:
             scaled = apply_top_k_top_p_min_p(scaled, top_k, top_p, min_p)
         # Gumbel-max sampling with per-row seeds.
@@ -131,11 +154,13 @@ def sample(logits: jnp.ndarray,
         random_tokens = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
         is_greedy = temperature < 1e-5
         next_tokens = jnp.where(is_greedy, greedy_tokens, random_tokens)
+        final_logits = scaled
 
     if need_chosen_logprobs or num_logprobs > 0:
-        # logprobs of the *pre-temperature* distribution (reference
-        # semantics: logprobs reflect the penalized distribution at T=1).
-        logz = jax.nn.log_softmax(logits, axis=-1)
+        # Logprobs reflect the distribution actually sampled from:
+        # post-penalty, post-temperature, post-top-k/p masking (reference:
+        # sampler.py computes log_softmax after all logits processing).
+        logz = jax.nn.log_softmax(final_logits, axis=-1)
         chosen_logprobs = jnp.take_along_axis(
             logz, next_tokens[:, None], axis=-1)[:, 0]
     else:

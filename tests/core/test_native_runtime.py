@@ -41,6 +41,9 @@ def test_prefix_cache_parity():
     cc = native.NativeBlockAllocator(4, first_id=1, prefix_caching=True)
     b1 = cc.allocate()
     b1 = cc.mark_full(b1, 111, 4)
+    # hash published but KV not yet written: lookup must miss
+    assert cc.lookup(111) is None
+    cc.mark_computed(b1)
     assert cc.lookup(222) is None
     assert cc.lookup(111) == b1
     cc.free(b1)
@@ -92,6 +95,9 @@ def test_fuzz_against_python():
                 r2 = cc.mark_full(i, h, 16)
                 assert r1 == r2, f"step {step}"
                 live[idx] = [r1, True]
+                if rng.integers(0, 2):
+                    py.mark_computed(r1)
+                    cc.mark_computed(r1)
         else:
             h = int(rng.integers(0, 50))
             assert py.lookup(h) == cc.lookup(h), f"step {step}"

@@ -108,6 +108,15 @@ def test_prefix_caching_hit():
     g1 = make_group(prompt_len=12, seq_id_start=0)  # 3 full blocks
     m.allocate(g1)
     t1 = m.get_block_table(g1.seqs[0])
+    # identical prompt BEFORE g1's forward pass ran: no hit may occur
+    # (blocks are published-but-uncomputed)
+    g_early = make_group(prompt_len=12, seq_id_start=20)
+    m.allocate(g_early)
+    assert m.get_num_computed_prefix_tokens(g_early.seqs[0]) == 0
+    m.free(g_early.seqs[0])
+    # simulate the prefill forward pass completing for g1
+    g1.seqs[0].data.update_num_computed_tokens(12)
+    m.mark_computed_blocks(g1.seqs[0])
     # identical prompt → full-block prefix shared
     g2 = make_group(prompt_len=12, seq_id_start=10)
     m.allocate(g2)
@@ -124,6 +133,7 @@ def test_prefix_cache_eviction_resurrection():
     a = PrefixCachingBlockAllocator(4, first_id=1)
     b1 = a.allocate()
     b1 = a.mark_full(b1, content_hash=111, num_hashed_tokens=4, now=1)
+    a.mark_computed(b1)  # forward pass wrote the block's KV
     a.free(b1)  # refcount 0 → evictable, still cached
     assert a.get_num_free_blocks() == 4
     hit = a.lookup(111)
