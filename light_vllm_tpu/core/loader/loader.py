@@ -78,6 +78,16 @@ class BaseModelLoader:
     def _finalize(self, model, params_np, mesh):
         if hasattr(model, "layer_tree"):
             params_np = _apply_quantize_hooks(model.layer_tree(), params_np)
+        if getattr(model, "scan_layers", False) and \
+                isinstance(params_np.get("layers"), (list, tuple)):
+            # Scan-over-layers models consume stacked [L, ...] params;
+            # stack on host so the sharded device_put below places each
+            # leaf exactly once.
+            from light_vllm_tpu.layers.base import stack_layer_params
+
+            params_np = dict(params_np)
+            params_np["layers"] = stack_layer_params(params_np["layers"],
+                                                     np_stack=True)
         return _place(params_np, model.specs(), mesh)
 
 

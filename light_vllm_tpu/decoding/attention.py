@@ -67,10 +67,18 @@ class PagedAttnBackend:
             head_dim=mc.get_head_size(),
             cache_dtype=cc.cache_jnp_dtype)
 
+    # Set by the worker when running under a device mesh; the Pallas
+    # backend uses it to shard_map the kernels over the "tp" axis.
+    mesh = None
+    # Whether attention() must run under shard_map on a tp>1 mesh
+    # (pallas_call is not GSPMD-partitionable; the jnp reference impl is).
+    shard_attention = False
+
     # --- cache contract -----------------------------------------------------
     def kv_cache_shape(self, num_blocks: int) -> Tuple[int, ...]:
-        """[num_slots, 2*kvh, head_dim] (K rows | V rows); axis 1 shards
-        over "tp"."""
+        """[num_slots, 2*kvh, head_dim] (K/V rows interleaved per head);
+        axis 1 shards over "tp" — the interleaving keeps each head's K and
+        V on the same shard (ops/kv_cache.py)."""
         return (num_blocks * self.block_size, 2 * self.num_kv_heads,
                 self.head_dim)
 
@@ -79,33 +87,48 @@ class PagedAttnBackend:
         return jnp.zeros(self.kv_cache_shape(num_blocks), dt)
 
     # --- ops ------------------------------------------------------------------
-    def write_kv(self, kv_pages, k, v, slot_mapping):
-        return write_kv_to_pages(kv_pages, k, v, slot_mapping)
+    def write_kv(self, kv_pages, k, v, slot_mapping, layer_idx=None):
+        return write_kv_to_pages(kv_pages, k, v, slot_mapping,
+                                 layer_idx=layer_idx)
 
     def attention(self, q, kv_pages, meta: DecodeAttnMetadata, *,
                   scale: float, sliding_window: Optional[int] = None,
-                  logits_soft_cap: Optional[float] = None):
-        """q: [T, h, d] → [T, h, d]."""
+                  logits_soft_cap: Optional[float] = None,
+                  layer_idx=None):
+        """q: [T, h, d] → [T, h, d]. kv_pages may be the full stacked
+        [L, slots, 2*kvh, d] cache with layer_idx selecting the layer
+        (scan-over-layers path)."""
         return ragged_paged_attention_ref(
             q, kv_pages.astype(q.dtype),
             meta.block_tables, meta.seq_lens, meta.seq_ids, meta.positions,
             self.block_size, scale=scale, sliding_window=sliding_window,
-            logits_soft_cap=logits_soft_cap)
+            logits_soft_cap=logits_soft_cap, layer_idx=layer_idx)
 
 
 class PallasPagedAttnBackend(PagedAttnBackend):
     name = "pallas"
+    # pallas_call is opaque to GSPMD: on a tp>1 mesh the Attention layer
+    # runs this backend inside shard_map over "tp" (heads axis), where
+    # each shard computes attention for its local kv-head slice with zero
+    # cross-chip KV traffic (the psum stays in the o-projection).
+    shard_attention = True
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        # Interpret mode runs the kernels as jax ops — CPU-mesh tests.
+        self.interpret = not current_platform().is_tpu
 
     def attention(self, q, kv_pages, meta: DecodeAttnMetadata, *,
                   scale: float, sliding_window: Optional[int] = None,
-                  logits_soft_cap: Optional[float] = None):
-        if self.head_dim % 128 != 0:
+                  logits_soft_cap: Optional[float] = None,
+                  layer_idx=None):
+        if self.head_dim % 128 != 0 and not self.interpret:
             # Kernel support for sub-128 head dims lands later; the jnp
             # path is correct.
             return super().attention(
                 q, kv_pages, meta, scale=scale,
                 sliding_window=sliding_window,
-                logits_soft_cap=logits_soft_cap)
+                logits_soft_cap=logits_soft_cap, layer_idx=layer_idx)
 
         import jax.numpy as jnp
 
@@ -120,14 +143,16 @@ class PallasPagedAttnBackend(PagedAttnBackend):
             out_d = paged_attention_decode(
                 q[:D], kv_pages, meta.block_tables[:D],
                 meta.seq_lens[:D], page_size=self.block_size, scale=scale,
-                sliding_window=sliding_window, soft_cap=logits_soft_cap)
+                sliding_window=sliding_window, soft_cap=logits_soft_cap,
+                layer_idx=layer_idx, interpret=self.interpret)
             out_parts.append(out_d)
         if meta.num_prefill_seqs > 0:
             out_p = prefill_paged_attention(
                 q, kv_pages, meta.tile_seq, meta.tile_qstart,
                 meta.block_tables, meta.seq_lens, meta.ctx_lens,
                 meta.chunk_starts, page_size=self.block_size, scale=scale,
-                sliding_window=sliding_window, soft_cap=logits_soft_cap)
+                sliding_window=sliding_window, soft_cap=logits_soft_cap,
+                layer_idx=layer_idx, interpret=self.interpret)
             out_parts.append(out_p[D:])
         if not out_parts:
             return jnp.zeros_like(q)
@@ -165,17 +190,81 @@ class Attention:
         self.sliding_window = sliding_window
         self.logits_soft_cap = logits_soft_cap
 
-    def __call__(self, q, k, v, kv_cache, meta: DecodeAttnMetadata):
-        """q [T, h*d], k/v [T, kvh*d]; kv_cache [slots, 2*kvh, d].
-        Returns (out [T, h*d], new_kv_cache)."""
+    def __call__(self, q, k, v, kv_cache, meta: DecodeAttnMetadata,
+                 layer_idx=None):
+        """q [T, h*d], k/v [T, kvh*d]; kv_cache [slots, 2*kvh, d], or the
+        full stacked [L, slots, 2*kvh, d] cache + layer_idx (scan path —
+        the cache is never sliced, so it aliases in place in the scan
+        carry). Returns (out [T, h*d], new_kv_cache)."""
         T = q.shape[0]
         qh = q.reshape(T, self.num_heads, self.head_dim)
         kh = k.reshape(T, self.num_kv_heads, self.head_dim)
         vh = v.reshape(T, self.num_kv_heads, self.head_dim)
-        kv_cache = self.backend.write_kv(kv_cache, kh, vh,
-                                         meta.slot_mapping)
-        out = self.backend.attention(
-            qh, kv_cache, meta, scale=self.scale,
-            sliding_window=self.sliding_window,
-            logits_soft_cap=self.logits_soft_cap)
+        mesh = self.backend.mesh
+        if self.backend.shard_attention and mesh is not None \
+                and mesh.shape.get("tp", 1) > 1:
+            out, kv_cache = self._sharded_call(qh, kh, vh, kv_cache, meta,
+                                               mesh, layer_idx)
+        else:
+            kv_cache = self.backend.write_kv(kv_cache, kh, vh,
+                                             meta.slot_mapping,
+                                             layer_idx=layer_idx)
+            out = self.backend.attention(
+                qh, kv_cache, meta, scale=self.scale,
+                sliding_window=self.sliding_window,
+                logits_soft_cap=self.logits_soft_cap,
+                layer_idx=layer_idx)
         return out.reshape(T, self.num_heads * self.head_dim), kv_cache
+
+    def _sharded_call(self, qh, kh, vh, kv_cache, meta: DecodeAttnMetadata,
+                      mesh, layer_idx=None):
+        """Run write_kv + attention inside shard_map over the "tp" axis.
+
+        pallas_call is opaque to GSPMD, so on a tp>1 mesh the kernel must
+        be partitioned manually: heads axis 1 of q/k/v and of the
+        (per-head-interleaved) KV cache shard over "tp"; every shard runs
+        the kernel on its local kv-head slice. Attention is embarrassingly
+        parallel over heads — the output stays head-sharded and the psum
+        happens in the o-projection, exactly the partitioning the
+        reference's TP-shaped layers encode (reference:
+        light_vllm/backends/linear.py RowParallelLinear).
+        """
+        import dataclasses
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        arr_fields = [
+            f.name for f in dataclasses.fields(meta)
+            if f.name not in ("num_decode_tokens", "decode_region",
+                              "num_prefill_seqs")
+            and getattr(meta, f.name) is not None
+        ]
+        arrs = [getattr(meta, f) for f in arr_fields]
+        heads = P(None, "tp", None)
+        # stacked cache carries a leading layer axis
+        stacked = layer_idx is not None
+        kv_spec = P(None, None, "tp", None) if stacked else heads
+        if stacked:
+            arrs = [jnp.asarray(layer_idx, jnp.int32)] + arrs
+
+        def inner(qh, kh, vh, kv_cache, *arrs):
+            if stacked:
+                l, arrs = arrs[0], arrs[1:]
+            else:
+                l = None
+            m = dataclasses.replace(meta, **dict(zip(arr_fields, arrs)))
+            kv_cache = self.backend.write_kv(kv_cache, kh, vh,
+                                             m.slot_mapping, layer_idx=l)
+            out = self.backend.attention(
+                qh, kv_cache, m, scale=self.scale,
+                sliding_window=self.sliding_window,
+                logits_soft_cap=self.logits_soft_cap, layer_idx=l)
+            return out, kv_cache
+
+        fn = shard_map(
+            inner, mesh=mesh,
+            in_specs=(heads, heads, heads, kv_spec) + (P(),) * len(arrs),
+            out_specs=(heads, kv_spec),
+            check_vma=False)
+        return fn(qh, kh, vh, kv_cache, *arrs)

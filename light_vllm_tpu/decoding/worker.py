@@ -30,8 +30,11 @@ from light_vllm_tpu.decoding.schema import (DecodingExecuteOutput,
                                             DecodingWorkerInput)
 from light_vllm_tpu.logger import init_logger
 from light_vllm_tpu.ops import sampling as sampling_ops
-from light_vllm_tpu.ops.kv_cache import (copy_pages, gather_blocks,
-                                         scatter_blocks)
+from light_vllm_tpu.ops.kv_cache import (copy_pages, copy_pages_stacked,
+                                         gather_blocks,
+                                         gather_blocks_stacked,
+                                         scatter_blocks,
+                                         scatter_blocks_stacked)
 from light_vllm_tpu.parallel.mesh import build_mesh
 from light_vllm_tpu.platforms import current_platform
 from light_vllm_tpu.utils import cdiv, get_dtype_size
@@ -44,40 +47,62 @@ class CacheEngine:
     (reference: decoding/worker/cache_engine.py:15)."""
 
     def __init__(self, backend, num_layers: int, num_device_blocks: int,
-                 num_cpu_blocks: int, dtype, mesh=None) -> None:
+                 num_cpu_blocks: int, dtype, mesh=None,
+                 stacked: bool = False) -> None:
         self.backend = backend
         self.num_layers = num_layers
         self.num_device_blocks = num_device_blocks
         self.num_cpu_blocks = num_cpu_blocks
         self.block_size = backend.block_size
         self.mesh = mesh
+        # stacked: one [L, slots, 2*kvh, d] array (scan-over-layers models)
+        # vs a per-layer list (unrolled models). Stacked also collapses
+        # swap/copy into one device op across all layers.
+        self.stacked = stacked
         cache_dtype = backend.cache_dtype or dtype
         self.cache_dtype = cache_dtype
 
+        layer_shape = backend.kv_cache_shape(num_device_blocks)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sharding = NamedSharding(mesh, P(None, "tp", None))
-            alloc_jit = jax.jit(
-                lambda: [jnp.zeros(backend.kv_cache_shape(
-                    num_device_blocks), cache_dtype)
-                    for _ in range(num_layers)],
-                out_shardings=[sharding] * num_layers)
+            if stacked:
+                sharding = NamedSharding(mesh, P(None, None, "tp", None))
+                alloc_jit = jax.jit(
+                    lambda: jnp.zeros((num_layers,) + layer_shape,
+                                      cache_dtype),
+                    out_shardings=sharding)
+            else:
+                sharding = NamedSharding(mesh, P(None, "tp", None))
+                alloc_jit = jax.jit(
+                    lambda: [jnp.zeros(layer_shape, cache_dtype)
+                             for _ in range(num_layers)],
+                    out_shardings=[sharding] * num_layers)
             self.kv_caches = alloc_jit()
+        elif stacked:
+            self.kv_caches = jnp.zeros((num_layers,) + layer_shape,
+                                       cache_dtype)
         else:
             self.kv_caches = [backend.new_kv_cache(num_device_blocks, dtype)
                               for _ in range(num_layers)]
-        # Host swap pool: [layers] np arrays [cpu_slots, 2*kvh, d]
-        # (ml_dtypes makes bf16/fp8 valid numpy dtypes).
+        # Host swap pool (ml_dtypes makes bf16/fp8 valid numpy dtypes):
+        # stacked → one [L, cpu_slots, 2*kvh, d] array, else per-layer list.
         _, kvh2, d = backend.kv_cache_shape(1)
         np_dt = jnp.dtype(cache_dtype)
-        self.cpu_cache = [
-            np.zeros((num_cpu_blocks * self.block_size, kvh2, d), np_dt)
-            for _ in range(num_layers)
-        ] if num_cpu_blocks > 0 else []
+        cpu_slots = num_cpu_blocks * self.block_size
+        if num_cpu_blocks <= 0:
+            self.cpu_cache = [] if not stacked else None
+        elif stacked:
+            self.cpu_cache = np.zeros((num_layers, cpu_slots, kvh2, d),
+                                      np_dt)
+        else:
+            self.cpu_cache = [np.zeros((cpu_slots, kvh2, d), np_dt)
+                              for _ in range(num_layers)]
 
         self._copy_fn = jax.jit(
-            functools.partial(copy_pages, page_size=self.block_size),
+            functools.partial(
+                copy_pages_stacked if stacked else copy_pages,
+                page_size=self.block_size),
             donate_argnums=(0,))
 
     @staticmethod
@@ -94,14 +119,31 @@ class CacheEngine:
             return
         src = jnp.asarray([s for s, _ in src_dst], jnp.int32)
         dst = jnp.asarray([d for _, d in src_dst], jnp.int32)
-        self.kv_caches = [self._copy_fn(kv, src, dst)
-                          for kv in self.kv_caches]
+        if self.stacked:
+            self.kv_caches = self._copy_fn(self.kv_caches, src, dst)
+        else:
+            self.kv_caches = [self._copy_fn(kv, src, dst)
+                              for kv in self.kv_caches]
+
+    def _host_blocks_view(self):
+        """cpu_cache reshaped to [L, num_cpu_blocks, page, 2*kvh, d]."""
+        L, slots, kvh2, d = self.cpu_cache.shape
+        return self.cpu_cache.reshape(L, slots // self.block_size,
+                                      self.block_size, kvh2, d)
 
     def swap_out(self, pairs: List[Tuple[int, int]]) -> None:
         """(device_block, cpu_block) pairs → host."""
         if not pairs:
             return
         dev_ids = jnp.asarray([a for a, _ in pairs], jnp.int32)
+        cpu_ids = np.asarray([b for _, b in pairs], np.int64)
+        if self.stacked:
+            # One gather for all layers, one vectorized host write.
+            blocks = np.asarray(gather_blocks_stacked(
+                self.kv_caches, dev_ids, self.block_size),
+                dtype=self.cpu_cache.dtype)
+            self._host_blocks_view()[:, cpu_ids] = blocks
+            return
         for li, kv in enumerate(self.kv_caches):
             blocks = np.asarray(gather_blocks(kv, dev_ids, self.block_size),
                                 dtype=self.cpu_cache[li].dtype)
@@ -115,6 +157,13 @@ class CacheEngine:
         if not pairs:
             return
         dev_ids = jnp.asarray([b for _, b in pairs], jnp.int32)
+        cpu_ids = np.asarray([c for c, _ in pairs], np.int64)
+        if self.stacked:
+            blocks = self._host_blocks_view()[:, cpu_ids]
+            self.kv_caches = scatter_blocks_stacked(
+                self.kv_caches, jnp.asarray(blocks, self.kv_caches.dtype),
+                dev_ids, self.block_size)
+            return
         for li, kv in enumerate(self.kv_caches):
             host = self.cpu_cache[li]
             blocks = np.stack(
@@ -307,6 +356,7 @@ class DecodingModelRunner:
                 self.params, kv_caches, model_input.blob)
             return DecodingExecuteOutput(next_tokens=ring), kv_caches
 
+        self._last_model_input = model_input  # test/introspection hook
         key = (model_input.use_penalties, model_input.use_topkp,
                model_input.num_logprobs,
                model_input.has_prompt_tokens,
@@ -366,6 +416,8 @@ class DecodingWorker(WorkerBase):
         from light_vllm_tpu.layers.base import ParamSpec
 
         t0 = time.perf_counter()
+        # Let the backend shard_map its kernels over the mesh "tp" axis.
+        self.attn_backend.mesh = self.mesh
         self.model = self.model_cls(self.engine_config.model_config,
                                     attn_backend=self.attn_backend)
         loader = get_model_loader(self.engine_config.load_config)
@@ -416,7 +468,8 @@ class DecodingWorker(WorkerBase):
         mc = self.engine_config.model_config
         self.cache_engine = CacheEngine(
             self.attn_backend, mc.get_num_layers(), num_device_blocks,
-            num_cpu_blocks, mc.dtype, self.mesh)
+            num_cpu_blocks, mc.dtype, self.mesh,
+            stacked=getattr(self.model, "scan_layers", False))
 
     # --- step ----------------------------------------------------------------
     def __call__(self, execute_input: ExecuteInput) -> DecodingExecuteOutput:

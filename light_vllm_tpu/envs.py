@@ -33,6 +33,16 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # MoE expert-compute path: "grouped" (Pallas gmm) | "dense"
     # (masked-dense) | unset = auto by platform and batch size.
     "LVT_MOE_BACKEND": lambda: os.environ.get("LVT_MOE_BACKEND", None),
+    # Scan decoder layers with lax.scan (stacked [L, ...] params + KV):
+    # one layer body per executable instead of num_layers unrolled copies,
+    # cutting compile time ~num_layers-fold. Models opt in via
+    # supports_scan; 0 forces the unrolled path everywhere.
+    "LVT_SCAN_LAYERS": lambda: bool(
+        int(os.environ.get("LVT_SCAN_LAYERS", "1"))),
+    # Partial unroll factor for the layer scan: N layer bodies per loop
+    # iteration. Trades a little compile time for less while-loop
+    # overhead (dispatch + lost inter-layer overlap).
+    "LVT_SCAN_UNROLL": lambda: int(os.environ.get("LVT_SCAN_UNROLL", "4")),
     # Step-level stats logging interval in seconds (0 disables).
     "LVT_LOG_STATS_INTERVAL": lambda: float(
         os.environ.get("LVT_LOG_STATS_INTERVAL", "10")),

@@ -71,6 +71,34 @@ def tree_specs(layer_tree: Any) -> Any:
     raise TypeError(type(layer_tree))
 
 
+def stack_layer_specs(spec_list: Any) -> Any:
+    """[per-layer spec tree, ...] (identical structure/shapes) → one spec
+    tree with a leading num_layers axis, replicated over the mesh
+    (PartitionSpec gains a leading None). Used by scan-over-layers models:
+    params stacked this way feed lax.scan so one executable holds a single
+    layer body instead of num_layers unrolled copies."""
+    L = len(spec_list)
+
+    def one(*specs: ParamSpec) -> ParamSpec:
+        s = specs[0]
+        for other in specs[1:]:
+            if tuple(other.shape) != tuple(s.shape) or \
+                    other.dtype != s.dtype:
+                raise ValueError(
+                    "stack_layer_specs requires homogeneous layers: "
+                    f"{other.shape}/{other.dtype} vs {s.shape}/{s.dtype}")
+        return ParamSpec((L,) + tuple(s.shape), s.dtype, P(None, *s.pspec))
+
+    return jax.tree.map(one, *spec_list,
+                        is_leaf=lambda x: isinstance(x, ParamSpec))
+
+
+def stack_layer_params(layer_params: Any, np_stack: bool = False) -> Any:
+    """List of per-layer param trees → tree of [L, ...] stacked leaves."""
+    stack = np.stack if np_stack else jnp.stack
+    return jax.tree.map(lambda *xs: stack(xs), *layer_params)
+
+
 def specs_to_shardings(specs: Any, mesh) -> Any:
     """ParamSpec tree → NamedSharding tree for jit in_shardings."""
     from jax.sharding import NamedSharding

@@ -102,13 +102,14 @@ class GemmaDecoderLayer:
             tree["post_ffw_ln"] = self.post_ffw_ln
         return tree
 
-    def __call__(self, p, x, positions, kv_cache, meta: DecodeAttnMetadata):
+    def __call__(self, p, x, positions, kv_cache, meta: DecodeAttnMetadata,
+                 layer_idx=None):
         residual = x
         x = self.input_ln(p["input_ln"], x)
         qkv = self.qkv(p["qkv"], x)
         q, k, v = self.qkv.split_qkv(qkv)
         q, k = self.rope(positions, q, k)
-        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta)
+        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta, layer_idx)
         attn_out = self.o(p["o"], attn_out)
         if self.gemma2:
             attn_out = self.post_attn_ln(p["post_attn_ln"], attn_out)
@@ -183,6 +184,15 @@ class GemmaForCausalLM:
         self.final_norm = GemmaRMSNorm(H, eps=getattr(cfg, "rms_norm_eps",
                                                       1e-6), dtype=dtype)
         self.num_layers = cfg.num_hidden_layers
+        # Gemma2 alternates window/global layers → scan over pairs
+        # (period 2); Gemma1 layers are homogeneous (period 1).
+        self.scan_period = 2 if self.gemma2 else 1
+        from light_vllm_tpu import envs
+
+        self.scan_layers = bool(
+            envs.LVT_SCAN_LAYERS
+            and self.num_layers > self.scan_period
+            and self.num_layers % self.scan_period == 0)
         # Gemma scales embeddings by sqrt(H), computed in the weight dtype
         # (HF casts the normalizer to the embedding dtype).
         self.embed_normalizer = jnp.asarray(H ** 0.5, dtype)
@@ -197,7 +207,12 @@ class GemmaForCausalLM:
         }
 
     def specs(self):
-        return tree_specs(self.layer_tree())
+        tree = tree_specs(self.layer_tree())
+        if self.scan_layers:
+            from light_vllm_tpu.layers.base import stack_layer_specs
+
+            tree["layers"] = stack_layer_specs(tree["layers"])
+        return tree
 
     def init_params(self, key):
         tree = self.layer_tree()
@@ -205,11 +220,26 @@ class GemmaForCausalLM:
             tree, is_leaf=lambda x: isinstance(x, Layer))
         keys = jax.random.split(key, len(leaves))
         params = [l.init_params(k) for l, k in zip(leaves, keys)]
-        return jax.tree.unflatten(treedef, params)
+        params = jax.tree.unflatten(treedef, params)
+        if self.scan_layers:
+            from light_vllm_tpu.layers.base import stack_layer_params
+
+            params["layers"] = stack_layer_params(params["layers"])
+        return params
 
     def __call__(self, params, input_ids, positions, kv_caches,
                  meta: DecodeAttnMetadata):
         x = self.embed(params["embed"], input_ids) * self.embed_normalizer
+        if self.scan_layers:
+            from light_vllm_tpu.models.scan_utils import scan_decoder_layers
+
+            x, kv_caches = scan_decoder_layers(
+                self.decoder_layers, params["layers"], x, kv_caches,
+                lambda layer, p, x, kv, l: layer(p, x, positions, kv,
+                                                 meta, l),
+                period=self.scan_period)
+            x = self.final_norm(params["final_norm"], x)
+            return x, kv_caches
         new_caches = []
         for layer, p, cache in zip(self.decoder_layers, params["layers"],
                                    kv_caches):
@@ -229,9 +259,18 @@ class GemmaForCausalLM:
 
     def encode_forward(self, params, input_ids, positions, mask):
         x = self.embed(params["embed"], input_ids) * self.embed_normalizer
-        for layer, p in zip(self.decoder_layers, params["layers"]):
-            x = layer.encode_call(p, x, positions, mask,
-                                  causal=self.encode_causal)
+        if self.scan_layers:
+            from light_vllm_tpu.models.scan_utils import scan_encode_layers
+
+            x = scan_encode_layers(
+                self.decoder_layers, params["layers"], x,
+                lambda layer, p, x: layer.encode_call(
+                    p, x, positions, mask, causal=self.encode_causal),
+                period=self.scan_period)
+        else:
+            for layer, p in zip(self.decoder_layers, params["layers"]):
+                x = layer.encode_call(p, x, positions, mask,
+                                      causal=self.encode_causal)
         x = self.final_norm(params["final_norm"], x)
         return {"hidden_states": x, "pooled_output": None}
 

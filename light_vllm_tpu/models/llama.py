@@ -17,9 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from light_vllm_tpu import envs
 from light_vllm_tpu.decoding.attention import Attention, DecodeAttnMetadata
 from light_vllm_tpu.layers.activation import get_gated_act_fn
-from light_vllm_tpu.layers.base import Layer, tree_specs
+from light_vllm_tpu.layers.base import (Layer, stack_layer_params,
+                                        stack_layer_specs, tree_specs)
 from light_vllm_tpu.layers.embedding import ParallelLMHead, \
     VocabParallelEmbedding
 from light_vllm_tpu.layers.linear import (MergedColumnParallelLinear,
@@ -77,14 +79,16 @@ class LlamaDecoderLayer:
                 "post_attn_ln": self.post_attn_ln}
 
     def __call__(self, p, x, positions, kv_cache,
-                 meta: DecodeAttnMetadata):
-        """x [T, H] flattened ragged batch."""
+                 meta: DecodeAttnMetadata, layer_idx=None):
+        """x [T, H] flattened ragged batch; kv_cache is this layer's
+        [slots, ...] pages, or the full stacked cache + layer_idx under
+        scan."""
         residual = x
         x = self.input_ln(p["input_ln"], x)
         qkv = self.qkv(p["qkv"], x)
         q, k, v = self.qkv.split_qkv(qkv)
         q, k = self.rope(positions, q, k)
-        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta)
+        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta, layer_idx)
         x = residual + self.o(p["o"], attn_out)
         residual = x
         x = self.post_attn_ln(p["post_attn_ln"], x)
@@ -119,6 +123,11 @@ class LlamaForCausalLM:
 
     qkv_bias = False
     encode_causal = True
+    # All decoder layers are structurally identical → the forward can
+    # lax.scan over stacked [L, ...] params + KV, so each executable
+    # compiles ONE layer body instead of num_layers unrolled copies
+    # (the compile-time fix; interleaved models like Gemma2 override).
+    supports_scan = True
 
     def __init__(self, model_config, attn_backend=None) -> None:
         cfg = model_config.hf_config
@@ -148,6 +157,8 @@ class LlamaForCausalLM:
                                   dtype=dtype)
         self.lm_head = ParallelLMHead(cfg.vocab_size, H, dtype=dtype)
         self.num_layers = cfg.num_hidden_layers
+        self.scan_layers = bool(envs.LVT_SCAN_LAYERS and self.supports_scan
+                                and self.num_layers > 1)
 
     # --- params -------------------------------------------------------------
     def layer_tree(self):
@@ -161,7 +172,10 @@ class LlamaForCausalLM:
         return tree
 
     def specs(self):
-        return tree_specs(self.layer_tree())
+        tree = tree_specs(self.layer_tree())
+        if self.scan_layers:
+            tree["layers"] = stack_layer_specs(tree["layers"])
+        return tree
 
     def init_params(self, key):
         tree = self.layer_tree()
@@ -169,13 +183,28 @@ class LlamaForCausalLM:
             tree, is_leaf=lambda x: isinstance(x, Layer))
         keys = jax.random.split(key, len(leaves))
         params = [l.init_params(k) for l, k in zip(leaves, keys)]
-        return jax.tree.unflatten(treedef, params)
+        params = jax.tree.unflatten(treedef, params)
+        if self.scan_layers:
+            params["layers"] = stack_layer_params(params["layers"])
+        return params
 
     # --- decode forward ------------------------------------------------------
     def __call__(self, params, input_ids, positions, kv_caches,
                  meta: DecodeAttnMetadata):
-        """Returns (hidden [T, H], new_kv_caches)."""
+        """Returns (hidden [T, H], new_kv_caches).
+
+        kv_caches: stacked [L, slots, 2*kvh, d] array when scan_layers,
+        else a per-layer list of [slots, 2*kvh, d] arrays."""
         x = self.embed(params["embed"], input_ids)
+        if self.scan_layers:
+            from light_vllm_tpu.models.scan_utils import scan_decoder_layers
+
+            x, kv_caches = scan_decoder_layers(
+                self.decoder_layers, params["layers"], x, kv_caches,
+                lambda layer, p, x, kv, l: layer(p, x, positions, kv,
+                                                 meta, l))
+            x = self.final_norm(params["final_norm"], x)
+            return x, kv_caches
         new_caches = []
         for layer, p, cache in zip(self.decoder_layers, params["layers"],
                                    kv_caches):
@@ -195,9 +224,17 @@ class LlamaForCausalLM:
     # --- embedder mode -------------------------------------------------------
     def encode_forward(self, params, input_ids, positions, mask):
         x = self.embed(params["embed"], input_ids)
-        for layer, p in zip(self.decoder_layers, params["layers"]):
-            x = layer.encode_call(p, x, positions, mask,
-                                  causal=self.encode_causal)
+        if self.scan_layers:
+            from light_vllm_tpu.models.scan_utils import scan_encode_layers
+
+            x = scan_encode_layers(
+                self.decoder_layers, params["layers"], x,
+                lambda layer, p, x: layer.encode_call(
+                    p, x, positions, mask, causal=self.encode_causal))
+        else:
+            for layer, p in zip(self.decoder_layers, params["layers"]):
+                x = layer.encode_call(p, x, positions, mask,
+                                      causal=self.encode_causal)
         x = self.final_norm(params["final_norm"], x)
         return {"hidden_states": x, "pooled_output": None}
 

@@ -32,13 +32,13 @@ class MixtralDecoderLayer(LlamaDecoderLayer):
         tree["moe"] = self.moe
         return tree
 
-    def __call__(self, p, x, positions, kv_cache, meta):
+    def __call__(self, p, x, positions, kv_cache, meta, layer_idx=None):
         residual = x
         x = self.input_ln(p["input_ln"], x)
         qkv = self.qkv(p["qkv"], x)
         q, k, v = self.qkv.split_qkv(qkv)
         q, k = self.rope(positions, q, k)
-        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta)
+        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta, layer_idx)
         x = residual + self.o(p["o"], attn_out)
         residual = x
         x = self.post_attn_ln(p["post_attn_ln"], x)

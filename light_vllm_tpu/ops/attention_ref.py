@@ -64,6 +64,7 @@ def ragged_paged_attention_ref(
     scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
+    layer_idx=None,   # scalar; kv_pages stacked [L, num_slots, 2*kvh, d]
 ) -> jnp.ndarray:
     """Paged attention over a ragged token batch (prefills + decodes mixed).
 
@@ -76,6 +77,10 @@ def ragged_paged_attention_ref(
     mapping.
     """
     T, h, d = q.shape
+    if layer_idx is not None:
+        # Correctness baseline only: the slice copy is fine on CPU.
+        kv_pages = jax.lax.dynamic_index_in_dim(kv_pages, layer_idx, 0,
+                                                keepdims=False)
     kvh = kv_pages.shape[1] // 2
     S, max_pages = block_tables.shape
     max_kv = max_pages * page_size
@@ -86,9 +91,9 @@ def ragged_paged_attention_ref(
     slot_ids = (block_tables[:, :, None] * page_size
                 + jnp.arange(page_size)[None, None, :]).reshape(S, max_kv)
     tok_slots = slot_ids[seq_ids]  # [T, max_kv]
-    kv_tok = kv_pages[tok_slots]   # [T, max_kv, 2*kvh, d]
-    k_tok = kv_tok[:, :, :kvh, :]
-    v_tok = kv_tok[:, :, kvh:, :]
+    kv_tok = kv_pages[tok_slots]   # [T, max_kv, 2*kvh, d] (K/V interleaved)
+    k_tok = kv_tok[:, :, 0::2, :]
+    v_tok = kv_tok[:, :, 1::2, :]
     if kvh != h:
         rep = h // kvh
         k_tok = jnp.repeat(k_tok, rep, axis=2)

@@ -38,9 +38,10 @@ def _decode_kernel(
     # scalar prefetch
     block_tables_ref,  # [S, max_pages] SMEM
     seq_lens_ref,      # [S] SMEM
+    layer_ref,         # [1] SMEM — layer slice of the stacked cache
     # inputs
     q_ref,             # [B, kvh, G_pad, d] VMEM
-    kv_pages_hbm,      # [P, page_size, 2*kvh, d] ANY
+    kv_pages_hbm,      # [L, P, page_size, 2*kvh, d] ANY
     # outputs
     out_ref,           # [B, kvh, G_pad, d] VMEM
     # scratch
@@ -89,9 +90,10 @@ def _decode_kernel(
         page_idx = start_page_of(b) + fetch_idx * pages_per_fetch + p
         page_id = block_tables_ref[inst * B + b, jnp.minimum(
             page_idx, block_tables_ref.shape[1] - 1)]
-        return (pltpu.make_async_copy(kv_pages_hbm.at[page_id],
-                                      kv_buf.at[slot, b, p],
-                                      sems.at[slot, b, p]), page_idx)
+        return (pltpu.make_async_copy(
+            kv_pages_hbm.at[layer_ref[0], page_id],
+            kv_buf.at[slot, b, p],
+            sems.at[slot, b, p]), page_idx)
 
     def start_fetch(fetch_idx, slot):
         for b in range(B):
@@ -144,9 +146,10 @@ def _decode_kernel(
                 kv = kv_buf[slot, b].reshape(R, 2 * kvh, d)
                 for j in range(kvh):
                     q = q_ref[b, j].astype(jnp.float32) * scale  # [G, d]
-                    k = kv[:, j, :].astype(jnp.float32)
+                    # interleaved layout: K_j at row 2j, V_j at 2j+1
+                    k = kv[:, 2 * j, :].astype(jnp.float32)
                     v = jnp.where(row_valid,
-                                  kv[:, kvh + j, :].astype(jnp.float32),
+                                  kv[:, 2 * j + 1, :].astype(jnp.float32),
                                   0.0)
                     scores = jax.lax.dot_general(
                         q, k, (((1,), (1,)), ((), ())),
@@ -182,7 +185,8 @@ def _decode_kernel(
                      "sliding_window", "soft_cap", "interpret"))
 def paged_attention_decode(
     q: jnp.ndarray,            # [S, h, d]
-    kv_pages: jnp.ndarray,     # [num_slots, 2*kvh, d] combined cache
+    kv_pages: jnp.ndarray,     # [num_slots, 2*kvh, d] cache, or stacked
+                               # [L, num_slots, 2*kvh, d] with layer_idx
     block_tables: jnp.ndarray,  # [S, max_pages] i32
     seq_lens: jnp.ndarray,     # [S] i32
     *,
@@ -191,10 +195,18 @@ def paged_attention_decode(
     pages_per_fetch: int = 8,
     sliding_window=None,
     soft_cap=None,
+    layer_idx=None,            # scalar i32 selecting the stacked layer
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """The stacked form exists so the scan-over-layers step can hand the
+    kernel the WHOLE cache: slicing one layer out before a pallas_call
+    materializes a full per-layer copy every scan iteration (custom calls
+    need real buffers, not dynamic-slice views)."""
     S, h, d = q.shape
-    num_slots, kvh2, _ = kv_pages.shape
+    if layer_idx is None:
+        kv_pages = kv_pages[None]
+        layer_idx = jnp.zeros((), jnp.int32)
+    L, num_slots, kvh2, _ = kv_pages.shape
     kvh = kvh2 // 2
     G = h // kvh
     B = min(SEQ_BLOCK, S)
@@ -206,10 +218,11 @@ def paged_attention_decode(
     if G_pad != G:
         q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, G_pad - G),
                                         (0, 0)))
-    kv = kv_pages.reshape(num_slots // page_size, page_size, 2 * kvh, d)
+    kv = kv_pages.reshape(L, num_slots // page_size, page_size, 2 * kvh, d)
+    layer_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(cdiv(S, B),),
         in_specs=[
             pl.BlockSpec((B, kvh, G_pad, d), lambda i, *_: (i, 0, 0, 0),
@@ -239,5 +252,5 @@ def paged_attention_decode(
         out_shape=jax.ShapeDtypeStruct((S, kvh, G_pad, d), q.dtype),
         interpret=interpret,
     )
-    out = kernel(block_tables, seq_lens, q_grouped, kv)
+    out = kernel(block_tables, seq_lens, layer_arr, q_grouped, kv)
     return out[:, :, :G, :].reshape(S, h, d)

@@ -38,10 +38,10 @@ TILE_Q = 128
 def _prefill_kernel(
     # scalar prefetch
     tile_seq_ref, tile_qstart_ref, block_tables_ref, seq_lens_ref,
-    ctx_lens_ref, chunk_starts_ref,
+    ctx_lens_ref, chunk_starts_ref, layer_ref,
     # inputs
     q_hbm,             # [Tpad, kvh, G, d] ANY
-    kv_pages_hbm,      # [P, page_size, 2*kvh, d] ANY
+    kv_pages_hbm,      # [L, P, page_size, 2*kvh, d] ANY
     # outputs
     out_hbm,           # [Tpad, kvh, G, d] ANY
     # scratch
@@ -94,7 +94,7 @@ def _prefill_kernel(
             page_id = block_tables_ref[s, jnp.minimum(
                 page_idx, block_tables_ref.shape[1] - 1)]
             return (pltpu.make_async_copy(
-                kv_pages_hbm.at[page_id],
+                kv_pages_hbm.at[layer_ref[0], page_id],
                 kv_buf.at[slot, pl.ds(p * page_size, page_size)],
                 sems.at[slot, p]), page_idx)
 
@@ -146,12 +146,12 @@ def _prefill_kernel(
             if sliding_window is not None:
                 mask &= col_ids > abs_pos - sliding_window
 
-            kv = kv_buf[slot]  # [R, 2*kvh, d]
+            kv = kv_buf[slot]  # [R, 2*kvh, d] (K/V interleaved per head)
             for j in range(kvh):
                 q = q_buf[:, j].reshape(rows, d).astype(jnp.float32) * scale
-                k = kv[:, j, :].astype(jnp.float32)
+                k = kv[:, 2 * j, :].astype(jnp.float32)
                 v = jnp.where(col_rows < seq_len,
-                              kv[:, kvh + j, :].astype(jnp.float32), 0.0)
+                              kv[:, 2 * j + 1, :].astype(jnp.float32), 0.0)
                 scores = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [rows, R]
@@ -190,7 +190,8 @@ def _prefill_kernel(
                      "sliding_window", "soft_cap", "interpret"))
 def prefill_paged_attention(
     q: jnp.ndarray,            # [Tpad, h, d]; Tpad % TILE_Q == 0
-    kv_pages: jnp.ndarray,     # [num_slots, 2*kvh, d]
+    kv_pages: jnp.ndarray,     # [num_slots, 2*kvh, d], or stacked
+                               # [L, num_slots, 2*kvh, d] with layer_idx
     tile_seq: jnp.ndarray,     # [NT] i32, -1 = skip
     tile_qstart: jnp.ndarray,  # [NT] i32
     block_tables: jnp.ndarray,  # [S, max_pages]
@@ -203,10 +204,16 @@ def prefill_paged_attention(
     pages_per_fetch: int = 8,
     sliding_window=None,
     soft_cap=None,
+    layer_idx=None,            # scalar i32 selecting the stacked layer
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """Stacked form: see paged_attention_decode — avoids per-scan-iteration
+    materialization of a layer slice."""
     Tpad, h, d = q.shape
-    num_slots, kvh2, _ = kv_pages.shape
+    if layer_idx is None:
+        kv_pages = kv_pages[None]
+        layer_idx = jnp.zeros((), jnp.int32)
+    L, num_slots, kvh2, _ = kv_pages.shape
     kvh = kvh2 // 2
     G = h // kvh
     # Pad GQA group to the sublane tile so in-kernel reshapes stay aligned.
@@ -218,10 +225,11 @@ def prefill_paged_attention(
     if G_pad != G:
         q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, G_pad - G),
                                         (0, 0)))
-    kv = kv_pages.reshape(num_slots // page_size, page_size, 2 * kvh, d)
+    kv = kv_pages.reshape(L, num_slots // page_size, page_size, 2 * kvh, d)
+    layer_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(NT,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -251,5 +259,5 @@ def prefill_paged_attention(
         interpret=interpret,
     )
     out = kernel(tile_seq, tile_qstart, block_tables, seq_lens, ctx_lens,
-                 chunk_starts, q_grouped, kv)
+                 chunk_starts, layer_arr, q_grouped, kv)
     return out[:, :, :G, :].reshape(Tpad, h, d)
