@@ -46,14 +46,21 @@ def build_llm(max_num_seqs: int, enable_chunked_prefill: bool):
         hidden_act="silu",
         tie_word_embeddings=False,
     )
+    # Sweep knobs (bench experiments; defaults are the recorded config).
+    scheduling = os.environ.get("LVT_BENCH_SCHEDULING", "sync")
+    chunked = bool(int(os.environ.get("LVT_BENCH_CHUNKED",
+                                      str(int(enable_chunked_prefill)))))
+    mnbt = int(os.environ.get("LVT_BENCH_MNBT", "1920"))
+    steps = int(os.environ.get("LVT_BENCH_STEPS", "8"))
     return LLM(hf_config=cfg, load_format="dummy", dtype="bfloat16",
                max_model_len=2048, block_size=16,
                max_num_seqs=max_num_seqs,
-               enable_chunked_prefill=enable_chunked_prefill,
+               enable_chunked_prefill=chunked,
+               scheduling=scheduling,
                # 7 x 256-token prompts + a 128-row decode region fill the
                # 2048 token bucket with ~6% padding.
-               max_num_batched_tokens=1920,
-               num_scheduler_steps=8,
+               max_num_batched_tokens=mnbt,
+               num_scheduler_steps=steps,
                swap_space=1.0)
 
 

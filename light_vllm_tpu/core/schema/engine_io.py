@@ -130,6 +130,9 @@ class RequestOutput:
     prompt: Optional[str] = None
     prompt_token_ids: Optional[List[int]] = None
     outputs: List[CompletionOutput] = field(default_factory=list)
+    # [None] + one {token_id: logprob} dict per prompt position (when
+    # SamplingParams.prompt_logprobs is set)
+    prompt_logprobs: Optional[List[Optional[Dict[int, float]]]] = None
     metrics: Optional[RequestMetrics] = None
 
 

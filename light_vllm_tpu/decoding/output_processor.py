@@ -21,6 +21,11 @@ from light_vllm_tpu.logger import init_logger
 logger = init_logger(__name__)
 
 
+def _logsumexp(x: np.ndarray) -> float:
+    m = np.max(x[np.isfinite(x)]) if np.isfinite(x).any() else 0.0
+    return m + np.log(np.sum(np.exp(x - m)))
+
+
 class StopChecker:
     """min_tokens → EOS → stop token ids → stop strings → max len
     (reference: processor/utils/stop_checker.py:8)."""
@@ -102,11 +107,17 @@ class DecodingOutputProcessor(OutputProcessor):
                 tokens, chosen_lp, topk_lp, topk_ids = \
                     execute_output.pythonize()
                 sub_steps = [(tokens, chosen_lp)]
-            for sched, meta, slots, chunks in zip(
+            for sched, meta, slots, chunks, starts in zip(
                     scheduler_output.scheduled_seq_groups, metas,
                     scheduler_output.sample_slots,
-                    scheduler_output.sample_chunks):
+                    scheduler_output.sample_chunks,
+                    scheduler_output.sample_starts):
                 g = sched.seq_group
+                if (meta.is_prompt
+                        and meta.sampling_params.prompt_logprobs is not None
+                        and execute_output.plp_chosen is not None):
+                    self._process_prompt_logprobs(g, meta, chunks[0],
+                                                  starts[0], execute_output)
                 for seq_id, slot, chunk in zip(meta.seq_data, slots, chunks):
                     seq = g.seqs_dict[seq_id]
                     for step_idx, (tokens_t, lp_t) in enumerate(sub_steps):
@@ -114,6 +125,14 @@ class DecodingOutputProcessor(OutputProcessor):
                             break
                         token = int(tokens_t[slot])
                         lp = float(lp_t[slot]) if lp_t is not None else 0.0
+                        if (meta.sampling_params.logits_processors
+                                and meta.do_sample
+                                and execute_output.lp_logits is not None
+                                and slot in scheduler_output.lp_slot_map):
+                            row = scheduler_output.lp_slot_map[slot]
+                            token, lp = self._host_resample(
+                                seq, meta.sampling_params,
+                                np.asarray(execute_output.lp_logits)[row])
                         if (topk_lp is not None and meta.do_sample
                                 and meta.sampling_params.logprobs):
                             k = meta.sampling_params.logprobs
@@ -137,6 +156,102 @@ class DecodingOutputProcessor(OutputProcessor):
         for g in scheduler_output.ignored_seq_groups:
             outputs.append(self._to_request_output(g))
         return outputs
+
+    def _process_prompt_logprobs(self, g, meta, chunk: int, start: int,
+                                 execute_output) -> None:
+        """Accumulate this prefill chunk's prompt logprobs onto the group.
+
+        Row start+i holds the distribution at prompt position ctx+i; its
+        entry describes the token at position ctx+i+1. Position 0 has no
+        distribution → leading None (reference:
+        processor/utils/single_step.py process_prompt_logprob).
+        """
+        data = next(iter(meta.seq_data.values()))
+        ctx = data.get_num_computed_tokens()
+        prompt = data.prompt_token_ids
+        k = meta.sampling_params.prompt_logprobs
+        chosen = np.asarray(execute_output.plp_chosen)
+        topk_lp = (np.asarray(execute_output.plp_topk)
+                   if execute_output.plp_topk is not None else None)
+        topk_ids = (np.asarray(execute_output.plp_topk_ids)
+                    if execute_output.plp_topk_ids is not None else None)
+        if g.prompt_logprobs is None:
+            g.prompt_logprobs = [None]
+        for i in range(chunk):
+            pos = ctx + i
+            if pos + 1 >= len(prompt):
+                break  # last prompt row predicts the first sampled token
+            row = start + i
+            target = prompt[pos + 1]
+            d = {}
+            if topk_ids is not None and k:
+                d = {int(t): float(p) for t, p in
+                     zip(topk_ids[row][:k], topk_lp[row][:k])}
+            d[target] = float(chosen[row])
+            g.prompt_logprobs.append(d)
+
+    def _host_resample(self, seq: Sequence, sp: SamplingParams,
+                       logits: np.ndarray):
+        """Host-side sampling for rows with per-request logits_processors.
+
+        Arbitrary Python callables can't run inside the jitted step, so the
+        step returns these rows' raw (pre-penalty) logits and the host
+        replays the sampler pipeline in the reference's order:
+        logits_processors → penalties → min-tokens ban → temperature →
+        top-k/top-p/min-p → sample (reference: backends/sampler.py:60-88
+        _apply_logits_processors before _apply_penalties).
+        """
+        logits = np.array(logits, dtype=np.float32, copy=True)
+        for fn in sp.logits_processors:
+            logits = np.asarray(
+                fn(list(seq.data.output_token_ids), logits),
+                dtype=np.float32)
+        V = logits.shape[0]
+        out_ids = np.asarray(seq.data.output_token_ids, dtype=np.int64)
+        if (sp.presence_penalty != 0 or sp.frequency_penalty != 0
+                or sp.repetition_penalty != 1.0):
+            out_counts = (np.bincount(out_ids[out_ids < V], minlength=V)
+                          if out_ids.size else np.zeros(V, np.int64))
+            out_mask = out_counts > 0
+            prompt_ids = np.asarray(seq.data.prompt_token_ids,
+                                    dtype=np.int64)
+            seen = out_mask.copy()
+            seen[prompt_ids[prompt_ids < V]] = True
+            rp = sp.repetition_penalty
+            logits = np.where(seen & (logits > 0), logits / rp,
+                              np.where(seen, logits * rp, logits))
+            logits = logits - sp.frequency_penalty * out_counts
+            logits = logits - sp.presence_penalty * out_mask
+        if seq.get_output_len() < sp.min_tokens:
+            ban = list(sp.stop_token_ids)
+            if not sp.ignore_eos and seq.eos_token_id is not None:
+                ban.append(seq.eos_token_id)
+            if ban:
+                logits[np.asarray(ban, dtype=np.int64)] = -np.inf
+        if sp.sampling_type.name == "GREEDY":
+            token = int(np.argmax(logits))
+            logz = logits - _logsumexp(logits)
+            return token, float(logz[token])
+        logits = logits / max(sp.temperature, 1e-5)
+        if sp.top_k > 0 and sp.top_k < V:
+            kth = np.partition(logits, -sp.top_k)[-sp.top_k]
+            logits = np.where(logits < kth, -np.inf, logits)
+        logz = logits - _logsumexp(logits)
+        probs = np.exp(logz)
+        if sp.top_p < 1.0:
+            order = np.argsort(-probs)
+            csum = np.cumsum(probs[order])
+            cut = np.searchsorted(csum, sp.top_p) + 1
+            mask = np.zeros(V, bool)
+            mask[order[:cut]] = True
+            probs = np.where(mask, probs, 0.0)
+        if sp.min_p > 0.0:
+            probs = np.where(probs < sp.min_p * probs.max(), 0.0, probs)
+        probs = probs / probs.sum()
+        rng = (np.random.default_rng((sp.seed, seq.get_output_len()))
+               if sp.seed is not None else np.random.default_rng())
+        token = int(rng.choice(V, p=probs))
+        return token, float(logz[token])
 
     def _detokenize(self, seq: Sequence, params: SamplingParams) -> str:
         if not params.detokenize or self.tokenizer is None:
@@ -172,4 +287,4 @@ class DecodingOutputProcessor(OutputProcessor):
         return RequestOutput(
             request_id=g.request_id, finished=finished, prompt=g.prompt,
             prompt_token_ids=g.prompt_token_ids, outputs=completions,
-            metrics=g.metrics)
+            prompt_logprobs=g.prompt_logprobs, metrics=g.metrics)

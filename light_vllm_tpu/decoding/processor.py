@@ -233,6 +233,46 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             [row["slot"] for row in refs] for refs in meta_row_refs]
         scheduler_output.sample_chunks = [
             [row["query_len"] for row in refs] for refs in meta_row_refs]
+        scheduler_output.sample_starts = [
+            [row["chunk_start"] for row in refs] for refs in meta_row_refs]
+
+        # prompt_logprobs: target-id row per prefill token (the NEXT prompt
+        # token; -1 = no target). The step computes, chunked over T, the
+        # logprob of each target under the post-log_softmax distribution at
+        # that position + top-k (reference: backends/sampler.py get_logprobs
+        # prompt path). Only branch 0 carries prompt rows (prefill runs
+        # once per group).
+        plp_params = [r["meta"].sampling_params for r in prefill_rows
+                      if r["meta"].sampling_params.prompt_logprobs
+                      is not None]
+        has_plp = bool(plp_params)
+        plp_k = max([sp.prompt_logprobs for sp in plp_params] + [0])
+        plp_targets = None
+        if has_plp:
+            plp_targets = np.full(T, -1, dtype=np.int32)
+            for row in prefill_rows:
+                if row["meta"].sampling_params.prompt_logprobs is None:
+                    continue
+                prompt = row["data"].prompt_token_ids
+                start, ctx = row["chunk_start"], row["ctx_len"]
+                for i in range(row["query_len"]):
+                    pos = ctx + i
+                    if pos + 1 < len(prompt):
+                        plp_targets[start + i] = prompt[pos + 1]
+
+        # per-request logits_processors: affected rows take the host-side
+        # resample path — the step returns their raw logits rows
+        # (sampling_params.py logits_processors docstring).
+        lp_rows = [r for r in all_rows
+                   if r["meta"].sampling_params.logits_processors]
+        lp_width = next_power_of_2(len(lp_rows)) if lp_rows else 0
+        lp_idx = None
+        if lp_rows:
+            lp_idx = np.zeros(lp_width, dtype=np.int32)
+            for j, r in enumerate(lp_rows):
+                lp_idx[j] = r["slot"]
+            scheduler_output.lp_slot_map = {
+                r["slot"]: j for j, r in enumerate(lp_rows)}
 
         (seq_f32, top_k_arr, seeds, out_tokens, prompt_tokens, use_penalties,
          use_topkp, all_greedy, ban_tokens, ban_active) = \
@@ -255,6 +295,10 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             parts.append(prompt_tokens.ravel())
         if ban_tokens is not None:
             parts.append(ban_tokens.ravel())
+        if plp_targets is not None:
+            parts.append(plp_targets)
+        if lp_idx is not None:
+            parts.append(lp_idx)
         blob = np.concatenate(parts)
 
         model_input = DecodingModelInput(
@@ -269,6 +313,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             num_logprobs=num_logprobs, use_penalties=use_penalties,
             use_topkp=use_topkp, all_greedy=all_greedy,
             ban_len=0 if ban_tokens is None else ban_tokens.shape[1],
+            has_plp=has_plp, plp_k=plp_k, lp_width=lp_width,
             multi_step=scheduler_output.multi_step if n_prefill == 0 else 1)
         worker_input = DecodingWorkerInput(
             blocks_to_swap_in=scheduler_output.blocks_to_swap_in,

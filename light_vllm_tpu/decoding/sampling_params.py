@@ -46,6 +46,14 @@ class SamplingParams(Params):
     skip_special_tokens: bool = True
     spaces_between_special_tokens: bool = True
     include_stop_str_in_output: bool = False
+    # Per-request logits processors: callables (output_token_ids, logits
+    # [V] np.f32) -> logits, applied before penalties (reference:
+    # backends/sampling_params.py:39 + sampler._apply_logits_processors).
+    # Arbitrary Python can't run inside the jitted step, so rows carrying
+    # processors take a documented host-side path: the step returns those
+    # rows' raw logits and the host applies processors + penalties +
+    # sampling for them (slow path; device result for the row is ignored).
+    logits_processors: Optional[List[LogitsProcessorFn]] = None
 
     def __post_init__(self):
         if self.best_of is None:

@@ -264,9 +264,10 @@ class DecodingScheduler(Scheduler):
         sp = seq_group.sampling_params
         if (sp.presence_penalty != 0 or sp.frequency_penalty != 0
                 or sp.repetition_penalty != 1.0 or sp.logprobs
-                or sp.stop):
+                or sp.stop or sp.min_tokens > 0 or sp.logits_processors):
             # penalties need per-token host state; logprob rings and
-            # mid-block stop-string truncation land later
+            # mid-block stop-string truncation land later; min_tokens
+            # needs the per-step EOS ban; logits_processors run host-side
             return 1
         if sp.min_tokens > 0 and any(
                 s.get_output_len() < sp.min_tokens
@@ -347,7 +348,13 @@ class DecodingScheduler(Scheduler):
             self.waiting.popleft()
             self.block_manager.allocate(seq_group)
             # Prefix-cache hit: skip already-computed prefix tokens.
+            # prompt_logprobs needs the distribution at every prompt
+            # position, so cached rows must still be computed (reference
+            # behaviour: prefix reuse is bypassed for prompt-logprob
+            # requests).
             cached = self.block_manager.get_num_computed_prefix_tokens(seq)
+            if seq_group.sampling_params.prompt_logprobs is not None:
+                cached = 0
             if cached > 0 and seq.data.get_num_computed_tokens() == 0:
                 seq.data.update_num_computed_tokens(cached)
                 num_new = self._num_new_tokens_prefill(seq_group, budget,

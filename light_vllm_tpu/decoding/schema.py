@@ -191,6 +191,11 @@ class SequenceGroup(SchedulableRequest):
         self.sampling_params = sampling_params
         self.prompt_token_ids = seqs[0].data.prompt_token_ids
         self.prompt = seqs[0].prompt
+        # Per-position prompt logprobs, accumulated across prefill chunks
+        # ([None] + one {token: lp} dict per position 1..len-1; reference:
+        # sequence.py:435 SequenceGroup.prompt_logprobs).
+        self.prompt_logprobs: Optional[List[Optional[Dict[int,
+                                                          float]]]] = None
         # Async-scheduling guard: True while a batch containing this group
         # is in flight (reference: decoding/scheduler.py busy flag :874).
         self.busy = False
@@ -264,6 +269,12 @@ class DecodingSchedulerOutput(SchedulerOutput):
     # sampled tokens back and advance computed counts per sequence.
     sample_slots: List[List[int]] = field(default_factory=list)
     sample_chunks: List[List[int]] = field(default_factory=list)
+    # flat token row where each (meta, seq)'s chunk starts (prompt-logprob
+    # rows live at [start, start+chunk))
+    sample_starts: List[List[int]] = field(default_factory=list)
+    # seq slot → row index into ExecuteOutput.lp_logits (host-side
+    # logits_processors path)
+    lp_slot_map: Dict[int, int] = field(default_factory=dict)
 
     def is_empty(self) -> bool:
         return (not self.scheduled_seq_groups
@@ -328,6 +339,13 @@ class DecodingModelInput(ModelInput):
     has_prompt_tokens: bool = False
     prompt_len: int = 0
     ban_len: int = 0                 # min_tokens stop-token ban width (0=off)
+    # prompt_logprobs: a [T] target-id row rides at the blob tail and the
+    # step computes per-position prompt logprobs (chunked over T).
+    has_plp: bool = False
+    plp_k: int = 0                   # top-k width for prompt logprobs
+    # rows with per-request logits_processors: the step returns their raw
+    # [lp_width, V] logits for the host-side resample path (0 = none)
+    lp_width: int = 0
     # host-only metadata (not transferred):
     num_seqs: int = 0
     num_decode_tokens: int = 0       # real decode tokens
@@ -381,6 +399,10 @@ class DecodingExecuteOutput(ExecuteOutput):
     logprobs: Any = None           # [S, k] f32 (optional)
     logprob_token_ids: Any = None  # [S, k] i32 (optional)
     chosen_logprobs: Any = None    # [S] f32 (when not packed)
+    plp_chosen: Any = None         # [T] f32 prompt-token logprob per row
+    plp_topk: Any = None           # [T, k] f32 (optional)
+    plp_topk_ids: Any = None       # [T, k] i32 (optional)
+    lp_logits: Any = None          # [lp_width, V] f32 raw logits rows
 
     def pythonize(self):
         import numpy as np

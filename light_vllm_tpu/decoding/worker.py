@@ -191,7 +191,8 @@ class DecodingModelRunner:
                       decode_region: int, num_prefill_seqs: int,
                       T: int, S: int, NT: int, P: int, max_out: int,
                       prompt_len: int, ban_len: int = 0,
-                      all_greedy: bool = False):
+                      all_greedy: bool = False, has_plp: bool = False,
+                      plp_k: int = 0, lp_width: int = 0):
         model = self.model
 
         def step(params, kv_caches, blob):
@@ -216,6 +217,8 @@ class DecodingModelRunner:
                 if has_prompt_tokens else None
             ban_tokens = take(S * ban_len, (S, ban_len)) \
                 if ban_len else None
+            plp_targets = take(T, (T,)) if has_plp else None
+            lp_idx = take(lp_width, (lp_width,)) if lp_width else None
 
             input_ids, positions, slot_mapping, seq_ids = (
                 tok_i32[0], tok_i32[1], tok_i32[2], tok_i32[3])
@@ -252,7 +255,17 @@ class DecodingModelRunner:
                 res.next_tokens,
                 jax.lax.bitcast_convert_type(res.chosen_logprobs,
                                              jnp.int32)])
-            return (packed, res.topk_logprobs, res.topk_ids, kv_caches)
+            plp = (None, None, None)
+            if has_plp:
+                plp = sampling_ops.prompt_logprobs(
+                    lambda h, ix: model.compute_logits(params, h, ix),
+                    hidden, plp_targets, plp_k)
+            # Rows with per-request logits_processors: ship their raw
+            # (pre-penalty) logits to the host resample path.
+            lp_logits = (logits[lp_idx].astype(jnp.float32)
+                         if lp_width else None)
+            return (packed, res.topk_logprobs, res.topk_ids, kv_caches,
+                    plp, lp_logits)
 
         return jax.jit(step, donate_argnums=(1,))
 
@@ -364,17 +377,21 @@ class DecodingModelRunner:
                min(model_input.num_prefill_seqs, 1),
                model_input.T, model_input.S, model_input.NT,
                model_input.P, model_input.max_out, model_input.prompt_len,
-               model_input.ban_len, model_input.all_greedy)
+               model_input.ban_len, model_input.all_greedy,
+               model_input.has_plp, model_input.plp_k,
+               model_input.lp_width)
         if key not in self._step_cache:
             logger.info("building step executable (pen,topkp,nlp,hpt,dr,"
-                        "pref,T,S,NT,P,mo,pl,ban,gr)=%s", key)
+                        "pref,T,S,NT,P,mo,pl,ban,gr,plp,plpk,lpw)=%s", key)
             self._step_cache[key] = self._make_step_fn(*key)
         step_fn = self._step_cache[key]
-        (packed, topk_lp, topk_ids, kv_caches) = step_fn(
+        (packed, topk_lp, topk_ids, kv_caches, plp, lp_logits) = step_fn(
             self.params, kv_caches, model_input.blob)
         out = DecodingExecuteOutput(
             next_tokens=packed, chosen_logprobs=None,
-            logprobs=topk_lp, logprob_token_ids=topk_ids)
+            logprobs=topk_lp, logprob_token_ids=topk_ids,
+            plp_chosen=plp[0], plp_topk=plp[1], plp_topk_ids=plp[2],
+            lp_logits=lp_logits)
         return out, kv_caches
 
 

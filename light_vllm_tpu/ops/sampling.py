@@ -175,3 +175,42 @@ def sample(logits: jnp.ndarray,
 
 def compute_greedy(logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+
+
+def prompt_logprobs(compute_logits_fn, hidden: jnp.ndarray,
+                    targets: jnp.ndarray, k: int, chunk: int = 256):
+    """Per-position prompt logprobs over the full token region.
+
+    The [T, V] logits would be GBs at serving shapes (T=2048, V=152k,
+    f32), so the log-softmax runs chunked via lax.map: each chunk gathers
+    its hidden rows, projects through the LM head, and keeps only the
+    target logprob (+ optional top-k) — peak extra memory is one
+    [chunk, V] slab. targets[t] is the NEXT prompt token at row t (-1 =
+    not requested; gather still runs, host discards).
+
+    Returns (chosen [T] f32, topk_lp [T, k] f32 | None, topk_ids | None).
+    (reference: decoding/backends/sampler.py get_logprobs prompt path)
+    """
+    T = hidden.shape[0]
+    C = min(chunk, T)
+    while T % C:
+        C -= 1
+    idx = jnp.arange(T, dtype=jnp.int32).reshape(T // C, C)
+    tg = targets.reshape(T // C, C)
+
+    def one(args):
+        ix, t = args
+        logits = compute_logits_fn(hidden, ix).astype(jnp.float32)
+        logz = jax.nn.log_softmax(logits, axis=-1)
+        chosen = jnp.take_along_axis(
+            logz, jnp.clip(t, 0, None)[:, None], axis=-1)[:, 0]
+        if k > 0:
+            tlp, tids = jax.lax.top_k(logz, k)
+            return chosen, tlp, tids.astype(jnp.int32)
+        return chosen
+
+    out = jax.lax.map(one, (idx, tg))
+    if k > 0:
+        chosen, tlp, tids = out
+        return (chosen.reshape(T), tlp.reshape(T, k), tids.reshape(T, k))
+    return out.reshape(T), None, None

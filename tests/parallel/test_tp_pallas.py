@@ -54,7 +54,8 @@ def test_tp_pallas_parity_and_no_kv_allgather(monkeypatch):
     key = (mi.use_penalties, mi.use_topkp, mi.num_logprobs,
            mi.has_prompt_tokens, mi.decode_region,
            min(mi.num_prefill_seqs, 1), mi.T, mi.S, mi.NT, mi.P,
-           mi.max_out, mi.prompt_len, mi.ban_len, mi.all_greedy)
+           mi.max_out, mi.prompt_len, mi.ban_len, mi.all_greedy,
+           mi.has_plp, mi.plp_k, mi.lp_width)
     step_fn = runner._step_cache[key]
     txt = step_fn.lower(runner.params, worker.cache_engine.kv_caches,
                         mi.blob).compile().as_text()
