@@ -17,6 +17,7 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 
 from light_vllm_tpu import envs
+from light_vllm_tpu.layers.base import Layer, ParamSpec
 from light_vllm_tpu.logger import init_logger
 from light_vllm_tpu.ops.attention_ref import ragged_paged_attention_ref
 from light_vllm_tpu.ops.kv_cache import write_kv_to_pages
@@ -86,9 +87,18 @@ class PagedAttnBackend:
         dt = self.cache_dtype or dtype
         return jnp.zeros(self.kv_cache_shape(num_blocks), dt)
 
+    @property
+    def needs_kv_scales(self) -> bool:
+        """fp8 KV caches carry per-layer k/v dequant scales (reference:
+        backends/quantization/kv_cache.py:8-77 Fp8KVCacheMethod)."""
+        return self.cache_dtype is not None and \
+            jnp.dtype(self.cache_dtype).itemsize == 1
+
     # --- ops ------------------------------------------------------------------
-    def write_kv(self, kv_pages, k, v, slot_mapping, layer_idx=None):
+    def write_kv(self, kv_pages, k, v, slot_mapping, layer_idx=None,
+                 k_scale=None, v_scale=None):
         return write_kv_to_pages(kv_pages, k, v, slot_mapping,
+                                 k_scale=k_scale, v_scale=v_scale,
                                  layer_idx=layer_idx)
 
     def attention(self, q, kv_pages, meta: DecodeAttnMetadata, *,
@@ -122,9 +132,14 @@ class PallasPagedAttnBackend(PagedAttnBackend):
                   scale: float, sliding_window: Optional[int] = None,
                   logits_soft_cap: Optional[float] = None,
                   layer_idx=None):
-        if self.head_dim % 128 != 0 and not self.interpret:
-            # Kernel support for sub-128 head dims lands later; the jnp
-            # path is correct.
+        if self.head_dim % 128 != 0 and self.head_dim != 64 \
+                and not self.interpret:
+            # head_dim 64 runs lane-packed (see ops/paged_attention_pallas
+            # packed mode); other sub-128 dims (80/96) fall back to jnp.
+            # fires once per executable build (trace-time only)
+            logger.warning(
+                "head_dim %d has no Pallas kernel; using the jnp "
+                "reference attention (slower)", self.head_dim)
             return super().attention(
                 q, kv_pages, meta, scale=scale,
                 sliding_window=sliding_window,
@@ -172,6 +187,24 @@ def get_decode_attn_backend(**kwargs) -> PagedAttnBackend:
     return PagedAttnBackend(**kwargs)
 
 
+class KVScales(Layer):
+    """Per-layer fp8-KV dequant scales as model params ([] f32, default 1;
+    loaded from quantized checkpoints' k_scale/v_scale tensors — reference:
+    core/loader/weight_utils.py:411-450 kv_cache_scales_loader +
+    backends/quantization/kv_cache.py Fp8KVCacheMethod). Living in the
+    param tree means they stack to [L] under scan-over-layers and trace
+    through shard_map like any other weight."""
+
+    def __init__(self) -> None:
+        super().__init__()
+
+        def ones(key, shape, dtype):
+            return jnp.ones(shape, dtype)
+
+        self._specs = {"k_scale": ParamSpec((), jnp.float32, init=ones),
+                       "v_scale": ParamSpec((), jnp.float32, init=ones)}
+
+
 class Attention:
     """Per-layer attention module for causal LMs (reference:
     light_vllm/backends/attention/layer.py:14). Holds no params; writes this
@@ -191,33 +224,48 @@ class Attention:
         self.logits_soft_cap = logits_soft_cap
 
     def __call__(self, q, k, v, kv_cache, meta: DecodeAttnMetadata,
-                 layer_idx=None):
+                 layer_idx=None, scales=None):
         """q [T, h*d], k/v [T, kvh*d]; kv_cache [slots, 2*kvh, d], or the
         full stacked [L, slots, 2*kvh, d] cache + layer_idx (scan path —
         the cache is never sliced, so it aliases in place in the scan
-        carry). Returns (out [T, h*d], new_kv_cache)."""
+        carry). scales: optional {"k_scale","v_scale"} f32 scalars for an
+        fp8 cache. Returns (out [T, h*d], new_kv_cache)."""
         T = q.shape[0]
         qh = q.reshape(T, self.num_heads, self.head_dim)
         kh = k.reshape(T, self.num_kv_heads, self.head_dim)
         vh = v.reshape(T, self.num_kv_heads, self.head_dim)
+        k_s = v_s = None
+        if scales is not None:
+            # Exact fp8-KV dequant without touching the kernels: the cache
+            # holds k/k_s and v/v_s, so pre-scaling q by k_s recovers
+            # q·kᵀ inside the kernel, and scaling the output by v_s
+            # recovers v's magnitude (softmax weights are unaffected).
+            # (reference: Fp8KVCacheMethod k_scale/v_scale semantics,
+            # backends/quantization/kv_cache.py:8-77)
+            k_s = scales["k_scale"].astype(jnp.float32)
+            v_s = scales["v_scale"].astype(jnp.float32)
+            qh = (qh.astype(jnp.float32) * k_s).astype(q.dtype)
         mesh = self.backend.mesh
         if self.backend.shard_attention and mesh is not None \
                 and mesh.shape.get("tp", 1) > 1:
             out, kv_cache = self._sharded_call(qh, kh, vh, kv_cache, meta,
-                                               mesh, layer_idx)
+                                               mesh, layer_idx, k_s, v_s)
         else:
             kv_cache = self.backend.write_kv(kv_cache, kh, vh,
                                              meta.slot_mapping,
-                                             layer_idx=layer_idx)
+                                             layer_idx=layer_idx,
+                                             k_scale=k_s, v_scale=v_s)
             out = self.backend.attention(
                 qh, kv_cache, meta, scale=self.scale,
                 sliding_window=self.sliding_window,
                 logits_soft_cap=self.logits_soft_cap,
                 layer_idx=layer_idx)
+        if v_s is not None:
+            out = (out.astype(jnp.float32) * v_s).astype(q.dtype)
         return out.reshape(T, self.num_heads * self.head_dim), kv_cache
 
     def _sharded_call(self, qh, kh, vh, kv_cache, meta: DecodeAttnMetadata,
-                      mesh, layer_idx=None):
+                      mesh, layer_idx=None, k_s=None, v_s=None):
         """Run write_kv + attention inside shard_map over the "tp" axis.
 
         pallas_call is opaque to GSPMD, so on a tp>1 mesh the kernel must
@@ -248,14 +296,22 @@ class Attention:
         if stacked:
             arrs = [jnp.asarray(layer_idx, jnp.int32)] + arrs
 
+        has_scales = k_s is not None
+        if has_scales:
+            arrs = [k_s, v_s] + arrs
+
         def inner(qh, kh, vh, kv_cache, *arrs):
+            ks = vs = None
+            if has_scales:
+                ks, vs, arrs = arrs[0], arrs[1], arrs[2:]
             if stacked:
                 l, arrs = arrs[0], arrs[1:]
             else:
                 l = None
             m = dataclasses.replace(meta, **dict(zip(arr_fields, arrs)))
             kv_cache = self.backend.write_kv(kv_cache, kh, vh,
-                                             m.slot_mapping, layer_idx=l)
+                                             m.slot_mapping, layer_idx=l,
+                                             k_scale=ks, v_scale=vs)
             out = self.backend.attention(
                 qh, kv_cache, m, scale=self.scale,
                 sliding_window=self.sliding_window,

@@ -41,7 +41,7 @@ from light_vllm_tpu.utils import Counter, cdiv, next_power_of_2
 # nearly free). The multi-step decode executable is K chained model calls,
 # ~K times the compile cost, which punishes ladder churn hardest.
 _DEFAULT_TOKEN_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
-_SEQ_BUCKETS = (8, 32, 128, 512, 2048)
+_SEQ_BUCKETS = (8, 32, 128, 256, 512, 2048)
 
 
 def _env_buckets():

@@ -29,6 +29,7 @@ from light_vllm_tpu.decoding.schema import (DecodingSchedulerOutput,
                                             SequenceGroupMetadata,
                                             SequenceStatus)
 from light_vllm_tpu.logger import init_logger
+from light_vllm_tpu.utils import cdiv
 
 logger = init_logger(__name__)
 
@@ -41,13 +42,34 @@ class PreemptionMode:
 
 
 class DecodingSchedulingBudget:
-    """Per-step token + seq budget (reference: scheduler.py:43-100)."""
+    """Per-step token + seq budget (reference: scheduler.py:43-100).
 
-    def __init__(self, token_budget: int, max_num_seqs: int) -> None:
+    With tile accounting enabled (chunked prefill), the budget also tracks
+    the TILE-ALIGNED token region the ModelInputBuilder will actually
+    materialize: the decode region rounds up to a TILE_Q multiple and every
+    prefill chunk occupies ceil(chunk/TILE_Q) query tiles. Charging aligned
+    costs keeps the builder's padded token count inside ONE bucket, so the
+    steady-state mixed batch always hits the same compiled executable
+    instead of walking the bucket ladder (each new (T, S) shape is a full
+    XLA recompile — this was measured to dominate chunked-mode serving)."""
+
+    def __init__(self, token_budget: int, max_num_seqs: int,
+                 tile: int = 0, tile_cap: int = 0) -> None:
         self.token_budget = token_budget
         self.max_num_seqs = max_num_seqs
         self.num_batched_tokens = 0
         self.num_curr_seqs = 0
+        # Reserve the (worst-case) decode region upfront: decode rows are
+        # capped by max_num_seqs, so the reservation is deterministic and
+        # admission order-independent.
+        reserve = cdiv(max_num_seqs, tile) * tile if tile else 0
+        if not tile or not tile_cap or reserve + tile > tile_cap:
+            tile_cap = 0  # tile accounting disabled / infeasible
+            tile = 0  # chunks must not tile-align either (raw budgeting)
+        self.tile = tile
+        self.tile_cap = tile_cap
+        self._decode_reserve = reserve if tile_cap else 0
+        self.num_tile_tokens = 0  # aligned prefill tokens admitted
 
     def can_schedule(self, *, num_new_tokens: int, num_new_seqs: int) -> bool:
         assert num_new_tokens >= 0 and num_new_seqs >= 0
@@ -59,9 +81,23 @@ class DecodingSchedulingBudget:
     def remaining_token_budget(self) -> int:
         return self.token_budget - self.num_batched_tokens
 
-    def add(self, num_new_tokens: int, num_new_seqs: int) -> None:
+    def remaining_chunk_allowance(self) -> int:
+        """Largest admissible prefill chunk under both the raw token budget
+        and the tile-aligned region cap."""
+        raw = self.remaining_token_budget()
+        if not self.tile_cap:
+            return raw
+        tile_room = (self.tile_cap - self._decode_reserve
+                     - self.num_tile_tokens)
+        return min(raw, max(tile_room, 0))
+
+    def add(self, num_new_tokens: int, num_new_seqs: int,
+            prefill_chunk: bool = False) -> None:
         self.num_batched_tokens += num_new_tokens
         self.num_curr_seqs += num_new_seqs
+        if prefill_chunk and self.tile_cap:
+            self.num_tile_tokens += cdiv(num_new_tokens,
+                                         self.tile) * self.tile
 
 
 class DecodingScheduler(Scheduler):
@@ -98,9 +134,22 @@ class DecodingScheduler(Scheduler):
 
     # ------------------------------------------------------------------ api
     def schedule(self) -> DecodingSchedulerOutput:
-        budget = DecodingSchedulingBudget(
-            self.scheduler_config.max_num_batched_tokens,
-            self.scheduler_config.max_num_seqs)
+        if self.scheduler_config.enable_chunked_prefill:
+            # Tile-aware budget: keep the builder's padded token region in
+            # one bucket (see DecodingSchedulingBudget docstring).
+            from light_vllm_tpu.decoding.processor import (
+                DecodingModelInputBuilder, pick_token_bucket)
+            tile = DecodingModelInputBuilder.TILE_Q
+            tile_cap = pick_token_bucket(
+                self.scheduler_config.max_num_batched_tokens)
+            budget = DecodingSchedulingBudget(
+                self.scheduler_config.max_num_batched_tokens,
+                self.scheduler_config.max_num_seqs,
+                tile=tile, tile_cap=tile_cap)
+        else:
+            budget = DecodingSchedulingBudget(
+                self.scheduler_config.max_num_batched_tokens,
+                self.scheduler_config.max_num_seqs)
         # Seed with already-live sequences so prompt admission respects
         # max_num_seqs across steps, not per schedule() call (reference:
         # vLLM budget semantics — max_num_seqs caps CONCURRENT seqs; without
@@ -144,7 +193,14 @@ class DecodingScheduler(Scheduler):
         seq = seq_group.get_seqs()[0]
         num = seq.data.get_num_uncomputed_tokens()
         if enable_chunking:
-            num = min(num, budget.remaining_token_budget())
+            allowance = budget.remaining_chunk_allowance()
+            if num > allowance:
+                # Partial chunk: align DOWN to the query tile so mid-prompt
+                # chunk boundaries (and hence every later chunk's context
+                # length) stay tile-aligned and the builder's padded region
+                # stays inside the bucket the budget planned for.
+                tile = budget.tile or 1
+                num = (allowance // tile) * tile
         return num
 
     def _preemption_mode(self, seq_group: SequenceGroup) -> str:
@@ -249,7 +305,8 @@ class DecodingScheduler(Scheduler):
                 for cow in self.block_manager.append_slots(
                         seq, num_lookahead_slots=lookahead):
                     out.blocks_to_copy.append(cow)
-            budget.add(num_new, 0)
+            budget.add(num_new, 0,
+                       prefill_chunk=seq_group.is_prefill())
             out.scheduled_seq_groups.append(ScheduledSequenceGroup(
                 seq_group=seq_group, token_chunk_size=num_new))
             if seq_group.is_prefill():
@@ -362,7 +419,7 @@ class DecodingScheduler(Scheduler):
             for s in seq_group.get_seqs(SequenceStatus.WAITING):
                 s.status = SequenceStatus.RUNNING
             seq_group.metrics.on_first_schedule()
-            budget.add(num_new, num_seqs)
+            budget.add(num_new, num_seqs, prefill_chunk=True)
             out.scheduled_seq_groups.append(ScheduledSequenceGroup(
                 seq_group=seq_group, token_chunk_size=num_new))
             out.num_prefill_groups += 1

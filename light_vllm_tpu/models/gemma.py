@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from light_vllm_tpu.decoding.attention import Attention, DecodeAttnMetadata
+from light_vllm_tpu.decoding.attention import (Attention,
+                                               DecodeAttnMetadata, KVScales)
 from light_vllm_tpu.layers.activation import gelu_tanh_and_mul
 from light_vllm_tpu.layers.base import Layer, tree_specs
 from light_vllm_tpu.layers.embedding import VocabParallelEmbedding
@@ -92,6 +93,9 @@ class GemmaDecoderLayer:
             self.num_heads, self.head_dim, self.num_kv_heads, scale=scale,
             backend=attn_backend, sliding_window=window,
             logits_soft_cap=soft_cap) if attn_backend is not None else None
+        self.kv_scales = KVScales() \
+            if attn_backend is not None and attn_backend.needs_kv_scales \
+            else None
 
     def layer_tree(self):
         tree = {"qkv": self.qkv, "o": self.o, "gate_up": self.gate_up,
@@ -100,6 +104,8 @@ class GemmaDecoderLayer:
         if self.gemma2:
             tree["pre_ffw_ln"] = self.pre_ffw_ln
             tree["post_ffw_ln"] = self.post_ffw_ln
+        if self.kv_scales is not None:
+            tree["attn_scales"] = self.kv_scales
         return tree
 
     def __call__(self, p, x, positions, kv_cache, meta: DecodeAttnMetadata,
@@ -109,7 +115,8 @@ class GemmaDecoderLayer:
         qkv = self.qkv(p["qkv"], x)
         q, k, v = self.qkv.split_qkv(qkv)
         q, k = self.rope(positions, q, k)
-        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta, layer_idx)
+        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta, layer_idx,
+                                       scales=p.get("attn_scales"))
         attn_out = self.o(p["o"], attn_out)
         if self.gemma2:
             attn_out = self.post_attn_ln(p["post_attn_ln"], attn_out)
@@ -313,6 +320,11 @@ class GemmaForCausalLM:
                     "weight": tensors["pre_feedforward_layernorm.weight"]}
                 lay["post_ffw_ln"] = {
                     "weight": tensors["post_feedforward_layernorm.weight"]}
+            if self.decoder_layers[i].kv_scales is not None:
+                lay["attn_scales"] = {
+                    k: np.float32(np.asarray(tensors.get(
+                        f"self_attn.{k[0]}_scale", 1.0)).reshape(()))
+                    for k in ("k_scale", "v_scale")}
         return p
 
 

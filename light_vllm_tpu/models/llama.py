@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from light_vllm_tpu import envs
-from light_vllm_tpu.decoding.attention import Attention, DecodeAttnMetadata
+from light_vllm_tpu.decoding.attention import (Attention,
+                                               DecodeAttnMetadata, KVScales)
 from light_vllm_tpu.layers.activation import get_gated_act_fn
 from light_vllm_tpu.layers.base import (Layer, stack_layer_params,
                                         stack_layer_specs, tree_specs)
@@ -70,13 +71,19 @@ class LlamaDecoderLayer:
                 self.num_heads, self.head_dim, self.num_kv_heads,
                 scale=self.head_dim ** -0.5, backend=attn_backend,
                 sliding_window=getattr(cfg, "sliding_window", None))
+            self.kv_scales = KVScales() if attn_backend.needs_kv_scales \
+                else None
         else:
             self.attn = None
+            self.kv_scales = None
 
     def layer_tree(self):
-        return {"qkv": self.qkv, "o": self.o, "gate_up": self.gate_up,
+        tree = {"qkv": self.qkv, "o": self.o, "gate_up": self.gate_up,
                 "down": self.down, "input_ln": self.input_ln,
                 "post_attn_ln": self.post_attn_ln}
+        if self.kv_scales is not None:
+            tree["attn_scales"] = self.kv_scales
+        return tree
 
     def __call__(self, p, x, positions, kv_cache,
                  meta: DecodeAttnMetadata, layer_idx=None):
@@ -88,7 +95,8 @@ class LlamaDecoderLayer:
         qkv = self.qkv(p["qkv"], x)
         q, k, v = self.qkv.split_qkv(qkv)
         q, k = self.rope(positions, q, k)
-        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta, layer_idx)
+        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta, layer_idx,
+                                       scales=p.get("attn_scales"))
         x = residual + self.o(p["o"], attn_out)
         residual = x
         x = self.post_attn_ln(p["post_attn_ln"], x)
@@ -297,6 +305,22 @@ class LlamaForCausalLM:
                       tensors["input_layernorm.weight"])
             set_layer(i, "post_attn_ln", "weight",
                       tensors["post_attention_layernorm.weight"])
+            if self.decoder_layers[i].kv_scales is not None:
+                # fp8-KV dequant scales: quantized checkpoints ship them as
+                # self_attn.{k,v}_scale (or attn.{k,v}_scale / the legacy
+                # shared kv_scale); default 1.0 (reference:
+                # weight_utils.py:411-450, loader.py:313).
+                def scale_of(which):
+                    for key in (f"self_attn.{which}_scale",
+                                f"self_attn.attn.{which}_scale",
+                                "self_attn.kv_scale"):
+                        if key in tensors:
+                            return np.float32(
+                                np.asarray(tensors[key]).reshape(()))
+                    return np.float32(1.0)
+
+                set_layer(i, "attn_scales", "k_scale", scale_of("k"))
+                set_layer(i, "attn_scales", "v_scale", scale_of("v"))
         if self.tie_word_embeddings:
             p.pop("lm_head", None)
         elif "lm_head" not in p:

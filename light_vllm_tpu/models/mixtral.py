@@ -38,7 +38,8 @@ class MixtralDecoderLayer(LlamaDecoderLayer):
         qkv = self.qkv(p["qkv"], x)
         q, k, v = self.qkv.split_qkv(qkv)
         q, k = self.rope(positions, q, k)
-        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta, layer_idx)
+        attn_out, kv_cache = self.attn(q, k, v, kv_cache, meta, layer_idx,
+                                       scales=p.get("attn_scales"))
         x = residual + self.o(p["o"], attn_out)
         residual = x
         x = self.post_attn_ln(p["post_attn_ln"], x)
@@ -108,6 +109,11 @@ class MixtralForCausalLM(LlamaForCausalLM):
                            for e in range(E)])
             lay["moe"] = {"router": w("block_sparse_moe.gate"),
                           "w13": w13, "w2": w2}
+            if self.decoder_layers[i].kv_scales is not None:
+                lay["attn_scales"] = {
+                    k: np.float32(np.asarray(t.get(
+                        f"self_attn.{k[0]}_scale", 1.0)).reshape(()))
+                    for k in ("k_scale", "v_scale")}
         if "lm_head" not in p:
             p["lm_head"] = {"weight": p["embed"]["weight"].copy()}
         return p

@@ -57,6 +57,7 @@ def _decode_kernel(
     seq_block: int,
     sliding_window=None,
     soft_cap=None,
+    packed: bool = False,
 ):
     inst = pl.program_id(0)
     B = seq_block
@@ -143,14 +144,24 @@ def _decode_kernel(
                 row_valid = pos < seq_len
                 if sliding_window is not None:
                     row_valid &= pos >= win_start_of(b)
-                kv = kv_buf[slot, b].reshape(R, 2 * kvh, d)
+                kv = kv_buf[slot, b].reshape(
+                    R, kvh if packed else 2 * kvh, d)
                 for j in range(kvh):
                     q = q_ref[b, j].astype(jnp.float32) * scale  # [G, d]
-                    # interleaved layout: K_j at row 2j, V_j at 2j+1
-                    k = kv[:, 2 * j, :].astype(jnp.float32)
-                    v = jnp.where(row_valid,
-                                  kv[:, 2 * j + 1, :].astype(jnp.float32),
-                                  0.0)
+                    if packed:
+                        # head_dim-64 lane packing: row j carries K_j in
+                        # lanes 0:64 and V_j in lanes 64:128. q's V lanes
+                        # are zero, so q·row == q·K_j; p·row puts p·V_j in
+                        # lanes 64:128 (sliced out by the caller).
+                        k = v = jnp.where(
+                            row_valid, kv[:, j, :].astype(jnp.float32),
+                            0.0)
+                    else:
+                        # interleaved layout: K_j at row 2j, V_j at 2j+1
+                        k = kv[:, 2 * j, :].astype(jnp.float32)
+                        v = jnp.where(
+                            row_valid,
+                            kv[:, 2 * j + 1, :].astype(jnp.float32), 0.0)
                     scores = jax.lax.dot_general(
                         q, k, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)  # [G, R]
@@ -210,6 +221,11 @@ def paged_attention_decode(
     kvh = kvh2 // 2
     G = h // kvh
     B = min(SEQ_BLOCK, S)
+    # head_dim 64 (Qwen2-0.5B class): Mosaic can't tile 64-lane arrays, so
+    # reinterpret the per-head-interleaved cache [.., 2*kvh, 64] as
+    # [.., kvh, 128] (pure reshape: K_j | V_j share a 128-lane row) and
+    # zero-pad q's V lanes — see the packed branch in _decode_kernel.
+    packed = d == 64
     # Pad the GQA group up to the sublane tile so q blocks are tileable;
     # padded rows cost nothing (decode attention is DMA-bound).
     sublane = 16 if q.dtype == jnp.bfloat16 else 8
@@ -218,24 +234,34 @@ def paged_attention_decode(
     if G_pad != G:
         q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, G_pad - G),
                                         (0, 0)))
-    kv = kv_pages.reshape(L, num_slots // page_size, page_size, 2 * kvh, d)
+    if packed:
+        q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, 0), (0, 64)))
+        d_k = 128
+        kv = kv_pages.reshape(L, num_slots // page_size, page_size, kvh,
+                              128)
+        kv_rows = kvh
+    else:
+        d_k = d
+        kv = kv_pages.reshape(L, num_slots // page_size, page_size,
+                              2 * kvh, d)
+        kv_rows = 2 * kvh
     layer_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(cdiv(S, B),),
         in_specs=[
-            pl.BlockSpec((B, kvh, G_pad, d), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((B, kvh, G_pad, d_k), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # kv pages stay in HBM
         ],
-        out_specs=pl.BlockSpec((B, kvh, G_pad, d),
+        out_specs=pl.BlockSpec((B, kvh, G_pad, d_k),
                                lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, B, pages_per_fetch, page_size, 2 * kvh, d),
+            pltpu.VMEM((2, B, pages_per_fetch, page_size, kv_rows, d_k),
                        kv_pages.dtype),
-            pltpu.VMEM((B, kvh, G_pad, d), jnp.float32),
+            pltpu.VMEM((B, kvh, G_pad, d_k), jnp.float32),
             pltpu.VMEM((B, kvh, G_pad, 128), jnp.float32),
             pltpu.VMEM((B, kvh, G_pad, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, B, pages_per_fetch)),
@@ -247,10 +273,12 @@ def paged_attention_decode(
                           pages_per_fetch=pages_per_fetch, scale=scale,
                           kvh=kvh, seq_block=B,
                           sliding_window=sliding_window,
-                          soft_cap=soft_cap),
+                          soft_cap=soft_cap, packed=packed),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, kvh, G_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, kvh, G_pad, d_k), q.dtype),
         interpret=interpret,
     )
     out = kernel(block_tables, seq_lens, layer_arr, q_grouped, kv)
+    if packed:
+        return out[:, :, :G, 64:].reshape(S, h, d)
     return out[:, :, :G, :].reshape(S, h, d)

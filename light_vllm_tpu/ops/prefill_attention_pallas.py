@@ -58,6 +58,7 @@ def _prefill_kernel(
     kvh: int,
     sliding_window=None,
     soft_cap=None,
+    packed: bool = False,
 ):
     t = pl.program_id(0)
     s = tile_seq_ref[t]
@@ -149,9 +150,16 @@ def _prefill_kernel(
             kv = kv_buf[slot]  # [R, 2*kvh, d] (K/V interleaved per head)
             for j in range(kvh):
                 q = q_buf[:, j].reshape(rows, d).astype(jnp.float32) * scale
-                k = kv[:, 2 * j, :].astype(jnp.float32)
-                v = jnp.where(col_rows < seq_len,
-                              kv[:, 2 * j + 1, :].astype(jnp.float32), 0.0)
+                if packed:
+                    # head_dim-64 lane packing (see decode kernel): row j
+                    # is K_j | V_j across 128 lanes; q's V lanes are zero.
+                    k = v = jnp.where(col_rows < seq_len,
+                                      kv[:, j, :].astype(jnp.float32), 0.0)
+                else:
+                    k = kv[:, 2 * j, :].astype(jnp.float32)
+                    v = jnp.where(
+                        col_rows < seq_len,
+                        kv[:, 2 * j + 1, :].astype(jnp.float32), 0.0)
                 scores = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [rows, R]
@@ -225,7 +233,17 @@ def prefill_paged_attention(
     if G_pad != G:
         q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, G_pad - G),
                                         (0, 0)))
-    kv = kv_pages.reshape(L, num_slots // page_size, page_size, 2 * kvh, d)
+    # head_dim-64 lane packing: see paged_attention_decode.
+    packed = d == 64
+    if packed:
+        q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, 0), (0, 64)))
+        d_k, kv_rows = 128, kvh
+        kv = kv_pages.reshape(L, num_slots // page_size, page_size, kvh,
+                              128)
+    else:
+        d_k, kv_rows = d, 2 * kvh
+        kv = kv_pages.reshape(L, num_slots // page_size, page_size,
+                              2 * kvh, d)
     layer_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -237,10 +255,10 @@ def prefill_paged_attention(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((TILE_Q, kvh, G_pad, d), q.dtype),
-            pltpu.VMEM((TILE_Q, kvh, G_pad, d), q.dtype),
-            pltpu.VMEM((2, R, 2 * kvh, d), kv_pages.dtype),
-            pltpu.VMEM((kvh, TILE_Q * G_pad, d), jnp.float32),
+            pltpu.VMEM((TILE_Q, kvh, G_pad, d_k), q.dtype),
+            pltpu.VMEM((TILE_Q, kvh, G_pad, d_k), q.dtype),
+            pltpu.VMEM((2, R, kv_rows, d_k), kv_pages.dtype),
+            pltpu.VMEM((kvh, TILE_Q * G_pad, d_k), jnp.float32),
             pltpu.VMEM((kvh, TILE_Q * G_pad, 128), jnp.float32),
             pltpu.VMEM((kvh, TILE_Q * G_pad, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -253,11 +271,13 @@ def prefill_paged_attention(
         functools.partial(_prefill_kernel, page_size=page_size,
                           pages_per_fetch=pages_per_fetch, scale=scale,
                           kvh=kvh, sliding_window=sliding_window,
-                          soft_cap=soft_cap),
+                          soft_cap=soft_cap, packed=packed),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Tpad, kvh, G_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((Tpad, kvh, G_pad, d_k), q.dtype),
         interpret=interpret,
     )
     out = kernel(tile_seq, tile_qstart, block_tables, seq_lens, ctx_lens,
                  chunk_starts, layer_arr, q_grouped, kv)
+    if packed:
+        return out[:, :, :G, 64:].reshape(Tpad, h, d)
     return out[:, :, :G, :].reshape(Tpad, h, d)

@@ -1,5 +1,8 @@
-"""FP8 KV cache: loose greedy parity vs bf16 cache (reference:
-Fp8KVCacheMethod, light_vllm/backends/quantization/kv_cache.py)."""
+"""FP8 KV cache with per-layer k/v dequant scales (reference:
+Fp8KVCacheMethod, light_vllm/backends/quantization/kv_cache.py:8-77 +
+core/loader/weight_utils.py:411-450 kv_cache_scales_loader)."""
+
+import copy
 
 import numpy as np
 import pytest
@@ -19,7 +22,8 @@ def tiny_qwen2():
     return cfg, Qwen2ForCausalLM(cfg).eval()
 
 
-def test_fp8_kv_generates_and_mostly_matches(tiny_qwen2):
+def test_fp8_kv_greedy_parity(tiny_qwen2):
+    """Unit-scale fp8 cache: 8-token greedy parity vs exact HF."""
     from light_vllm_tpu import SamplingParams
 
     cfg, hf_model = tiny_qwen2
@@ -30,7 +34,97 @@ def test_fp8_kv_generates_and_mostly_matches(tiny_qwen2):
                                                  max_tokens=8,
                                                  ignore_eos=True))
     got = outs[0].outputs[0].token_ids
-    assert len(got) == 8
     ref = hf_greedy(hf_model, prompt["prompt_token_ids"], 8)
-    # fp8 KV quantization noise: require the first tokens to agree
-    assert got[:2] == ref[:2]
+    assert got == ref, (got, ref)
+
+
+def _amplified_model(hf_model, factor):
+    """Blow K/V projections past the fp8-e4m3 max (448) so a cast-only
+    cache saturates; proper k/v scales must recover parity."""
+    import torch
+
+    amp = copy.deepcopy(hf_model)
+    with torch.no_grad():
+        for layer in amp.model.layers:
+            for proj in (layer.self_attn.k_proj, layer.self_attn.v_proj):
+                proj.weight.mul_(factor)
+                if proj.bias is not None:
+                    proj.bias.mul_(factor)
+    return amp
+
+
+def _kv_amax(amp, prompt_ids):
+    """Largest |k| and |v| over the prompt, per model (torch hooks)."""
+    import torch
+
+    amax = {"k": 0.0, "v": 0.0}
+
+    def hook(which):
+        def fn(mod, args, out):
+            amax[which] = max(amax[which], float(out.abs().max()))
+        return fn
+
+    handles = []
+    for layer in amp.model.layers:
+        handles.append(layer.self_attn.k_proj.register_forward_hook(
+            hook("k")))
+        handles.append(layer.self_attn.v_proj.register_forward_hook(
+            hook("v")))
+    with torch.no_grad():
+        amp(torch.tensor([prompt_ids]))
+    for h in handles:
+        h.remove()
+    return amax["k"], amax["v"]
+
+
+def test_fp8_kv_scales_recover_overflow(tiny_qwen2):
+    """k/v values ~8x past the fp8 max: cast-only garbage, scales exact.
+
+    Scales ride the checkpoint as model.layers.N.self_attn.{k,v}_scale
+    (reference kv_cache_scales_loader naming)."""
+    from light_vllm_tpu import SamplingParams
+
+    cfg, hf_model = tiny_qwen2
+    amp = _amplified_model(hf_model, 1024.0)
+    rng = np.random.default_rng(1)
+    prompt = {"prompt_token_ids": rng.integers(3, 250, size=9).tolist()}
+    k_amax, v_amax = _kv_amax(amp, prompt["prompt_token_ids"])
+    assert k_amax > 448 and v_amax > 448, (k_amax, v_amax)
+    ref = hf_greedy(amp, prompt["prompt_token_ids"], 8)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+    # Sanity: our engine with an exact cache tracks HF on this model.
+    assert make_llm(amp).generate(
+        [prompt], sp)[0].outputs[0].token_ids == ref
+
+    # Without scales the cache saturates at ±448 → garbage from token 0.
+    llm_raw = make_llm(amp, kv_cache_dtype="fp8")
+    got_raw = llm_raw.generate([prompt], sp)[0].outputs[0].token_ids
+    assert got_raw[0] != ref[0], "saturated cache should diverge"
+
+    # With checkpoint scales, accuracy returns. (Full 8-token parity is
+    # asserted on the unit-scale model above; here HF's top-2 logit gap at
+    # step 3 is ~4e-5 relative — below fp8's ~3% noise floor — so only the
+    # first tokens are deterministic under ANY correct fp8 cache.)
+    import torch
+
+    sd = dict(amp.state_dict())
+    n_layers = len(amp.model.layers)
+    for i in range(n_layers):
+        sd[f"model.layers.{i}.self_attn.k_scale"] = \
+            torch.tensor(k_amax / 400.0)
+        sd[f"model.layers.{i}.self_attn.v_scale"] = \
+            torch.tensor(v_amax / 400.0)
+    llm = make_llm(amp, kv_cache_dtype="fp8", state_dict=sd)
+    got = llm.generate([prompt], sp)[0].outputs[0].token_ids
+    assert got[:3] == ref[:3], (got, ref)
+
+
+def test_kv_scales_absent_without_fp8(tiny_qwen2):
+    """bf16/f32 caches carry no scale params (tree shape unchanged)."""
+    cfg, hf_model = tiny_qwen2
+    llm = make_llm(hf_model)
+    runner = llm.llm_engine.executor.worker.runner
+    layers = runner.params["layers"]
+    flat = (layers if isinstance(layers, dict) else layers[0])
+    assert "attn_scales" not in flat
