@@ -46,12 +46,17 @@ class EncoderAttnBackend:
 class PallasEncoderAttnBackend(EncoderAttnBackend):
     name = "pallas"
 
+    def __init__(self, attn_type: AttnType) -> None:
+        super().__init__(attn_type)
+        # Interpret mode runs the kernel as jax ops — CPU-mesh tests.
+        self.interpret = not current_platform().is_tpu
+
     def __call__(self, q, k, v, mask, *, scale=None):
         from light_vllm_tpu.ops.flash_attention import flash_attention_dense
 
         return flash_attention_dense(
             q, k, v, mask, causal=self.attn_type == AttnType.DECODER,
-            scale=scale)
+            scale=scale, interpret=self.interpret)
 
 
 def get_attn_backend(attn_type: AttnType) -> EncoderAttnBackend:
