@@ -37,8 +37,12 @@ def __getattr__(name):
         from light_vllm_tpu.core.arg_utils import EngineArgs
 
         return EngineArgs
+    if name == "DataParallelLLM":
+        from light_vllm_tpu.entrypoints.dp_llm import DataParallelLLM
+
+        return DataParallelLLM
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 __all__ = ["LLM", "LLMEngine", "SamplingParams", "TextPrompt", "TokensPrompt",
-           "ModelRegistry", "EngineArgs", "__version__"]
+           "ModelRegistry", "EngineArgs", "DataParallelLLM", "__version__"]

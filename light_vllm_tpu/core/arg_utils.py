@@ -22,6 +22,11 @@ class EngineArgs:
     # Parallelism
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # Explicit device subset (replica pinning for engine-level DP — see
+    # entrypoints/dp_llm.py; reference analog:
+    # prefill_only/executor/gpu_data_parallelism_executor.py per-device
+    # workers). None = all visible devices.
+    devices: Optional[Any] = None
 
     def to_dict(self) -> Dict[str, Any]:
         d = {}

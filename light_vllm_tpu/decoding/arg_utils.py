@@ -92,4 +92,5 @@ class DecodingEngineArgs(EngineArgs):
                                    state_dict=self.state_dict),
             parallel_config=ParallelConfig(
                 tensor_parallel_size=self.tensor_parallel_size,
-                data_parallel_size=self.data_parallel_size))
+                data_parallel_size=self.data_parallel_size,
+                devices=self.devices))

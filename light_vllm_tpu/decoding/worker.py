@@ -421,10 +421,14 @@ class DecodingWorker(WorkerBase):
 
     def init_device(self) -> None:
         pc = self.engine_config.parallel_config
-        if pc.world_size > 1:
+        if pc.world_size > 1 or pc.devices is not None:
+            # Explicit devices with world==1 pin a DP replica to its own
+            # chip: a 1-device mesh routes ALL placement (params, KV,
+            # step executables) through that device's shardings.
             self.mesh = build_mesh(
                 tensor_parallel_size=pc.tensor_parallel_size,
-                data_parallel_size=pc.data_parallel_size)
+                data_parallel_size=pc.data_parallel_size,
+                devices=pc.devices)
         else:
             self.mesh = None
 
