@@ -1,15 +1,19 @@
 """End-to-end serving benchmark on the local accelerator.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": ...}
 
-Workload mirrors the reference's baseline harness shape
-(reference: benchmarks/baseline.py — fixed-length prompts, continuous
-batching, req/s + tok/s + TPOT) on a ~1.5B Qwen2-class config with dummy
-weights (no network in this environment). vs_baseline is reported against
-the reference's only recorded number (vllm 0.6.1, 59.08 req/s ≈ 16.1k
-total tok/s on Qwen2-7B FP8, unstated GPU — see BASELINE.md; not
-hardware-comparable, recorded for trend only).
+Primary metric (trend): Qwen2-1.5B bf16, 256in/16out continuous batching —
+mirrors the reference's baseline harness shape (reference:
+benchmarks/baseline.py). vs_baseline compares against the reference's
+only recorded number (vllm 0.6.1, 59.08 req/s ≈ 16.1k total tok/s on
+Qwen2-7B FP8, unstated GPU — see BASELINE.md; not hardware-comparable,
+recorded for trend only).
+
+North-star config (BASELINE.md "Our north star"): Llama-3-8B-shaped FP8
+weights + FP8 KV cache, same workload — reported in "extra" as
+llama3_8b_fp8 tok/s/chip + MFU (model FLOPs / chip bf16 peak; TPU v5e has
+no native fp8 MXU path, XLA upconverts). Skip with LVT_BENCH_SKIP_8B=1.
 """
 
 import json
@@ -28,31 +32,52 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/lvt_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+V5E_BF16_PEAK = 197e12  # TPU v5e (v5 lite) peak bf16 FLOP/s
 
-def build_llm(max_num_seqs: int, enable_chunked_prefill: bool):
+
+def qwen2_1_5b_config():
+    return dict(
+        architectures=["Qwen2ForCausalLM"],
+        vocab_size=151936, hidden_size=1536, num_hidden_layers=28,
+        num_attention_heads=12, num_key_value_heads=2,
+        intermediate_size=8960, max_position_embeddings=4096,
+        rms_norm_eps=1e-6, rope_theta=1000000.0, hidden_act="silu",
+        tie_word_embeddings=False)
+
+
+def llama3_8b_config():
+    return dict(
+        architectures=["LlamaForCausalLM"],
+        vocab_size=128256, hidden_size=4096, num_hidden_layers=32,
+        num_attention_heads=32, num_key_value_heads=8,
+        intermediate_size=14336, max_position_embeddings=8192,
+        rms_norm_eps=1e-5, rope_theta=500000.0, hidden_act="silu",
+        tie_word_embeddings=False)
+
+
+def matmul_params(cfg):
+    """Matmul-visible parameter count (embeddings excluded, lm_head
+    included) — the 2*N FLOPs/token convention."""
+    H, L, I, V = (cfg["hidden_size"], cfg["num_hidden_layers"],
+                  cfg["intermediate_size"], cfg["vocab_size"])
+    heads, kvh = cfg["num_attention_heads"], cfg["num_key_value_heads"]
+    d = H // heads
+    per_layer = (H * d * (heads + 2 * kvh)   # qkv
+                 + heads * d * H             # o
+                 + 3 * H * I)                # gate/up/down
+    return L * per_layer + H * V             # + lm_head
+
+
+def build_llm(cfg, max_num_seqs, dtype="bfloat16", quantization=None,
+              kv_cache_dtype="auto"):
     from light_vllm_tpu import LLM
 
-    cfg = dict(
-        architectures=["Qwen2ForCausalLM"],
-        vocab_size=151936,
-        hidden_size=1536,
-        num_hidden_layers=28,
-        num_attention_heads=12,
-        num_key_value_heads=2,
-        intermediate_size=8960,
-        max_position_embeddings=4096,
-        rms_norm_eps=1e-6,
-        rope_theta=1000000.0,
-        hidden_act="silu",
-        tie_word_embeddings=False,
-    )
-    # Sweep knobs (bench experiments; defaults are the recorded config).
     scheduling = os.environ.get("LVT_BENCH_SCHEDULING", "sync")
-    chunked = bool(int(os.environ.get("LVT_BENCH_CHUNKED",
-                                      str(int(enable_chunked_prefill)))))
+    chunked = bool(int(os.environ.get("LVT_BENCH_CHUNKED", "0")))
     mnbt = int(os.environ.get("LVT_BENCH_MNBT", "1920"))
     steps = int(os.environ.get("LVT_BENCH_STEPS", "8"))
-    return LLM(hf_config=cfg, load_format="dummy", dtype="bfloat16",
+    return LLM(hf_config=cfg, load_format="dummy", dtype=dtype,
+               quantization=quantization, kv_cache_dtype=kv_cache_dtype,
                max_model_len=2048, block_size=16,
                max_num_seqs=max_num_seqs,
                enable_chunked_prefill=chunked,
@@ -64,18 +89,13 @@ def build_llm(max_num_seqs: int, enable_chunked_prefill: bool):
                swap_space=1.0)
 
 
-def main():
-    input_len = 256
-    output_len = 16
-    num_prompts = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    max_num_seqs = 128
-
+def run_workload(llm, num_prompts, input_len, output_len, tag):
     from light_vllm_tpu.decoding.sampling_params import SamplingParams
 
-    llm = build_llm(max_num_seqs, enable_chunked_prefill=False)
     rng = np.random.default_rng(0)
+    vocab = llm.llm_engine.engine_config.model_config.get_vocab_size()
     prompts = [{
-        "prompt_token_ids": rng.integers(10, 50000,
+        "prompt_token_ids": rng.integers(10, vocab - 1000,
                                          size=input_len).tolist()
     } for _ in range(num_prompts)]
     params = SamplingParams(temperature=0.0, max_tokens=output_len,
@@ -83,11 +103,12 @@ def main():
 
     # Warmup: compile the executable set the main run will hit — 39 prompts
     # covers the full 7-prompt prefill steps (T=2048), the 4-prompt tail
-    # (T=1024) and the 128-row decode bucket (see processor.py ladders).
+    # and the decode buckets (see processor.py ladders).
     t_warm = time.perf_counter()
     warm = llm.generate(prompts[:39], params)
     assert all(len(o.outputs[0].token_ids) == output_len for o in warm)
-    sys.stderr.write(f"# warmup {time.perf_counter() - t_warm:.1f}s\n")
+    warmup_s = time.perf_counter() - t_warm
+    sys.stderr.write(f"# [{tag}] warmup {warmup_s:.1f}s\n")
 
     engine = llm.llm_engine
     t0 = time.perf_counter()
@@ -100,9 +121,6 @@ def main():
         outs = engine.step()
         steps += 1
         now = time.perf_counter()
-        if steps % 25 == 0:
-            sys.stderr.write(f"# step {steps}: {done}/{num_prompts} done, "
-                             f"{now - t0:.1f}s\n")
         for o in outs:
             if o.request_id not in first_token_ts and o.outputs and \
                     o.outputs[0].token_ids:
@@ -112,23 +130,47 @@ def main():
     elapsed = time.perf_counter() - t0
 
     total_tokens = num_prompts * (input_len + output_len)
-    gen_tokens = num_prompts * output_len
-    req_s = num_prompts / elapsed
     tok_s = total_tokens / elapsed
-    gen_tok_s = gen_tokens / elapsed
+    gen_tok_s = num_prompts * output_len / elapsed
     ttfts = sorted(first_token_ts.values())
     p50_ttft = ttfts[len(ttfts) // 2] if ttfts else float("nan")
-
     sys.stderr.write(
-        f"# {num_prompts} reqs {input_len}in/{output_len}out: "
-        f"{elapsed:.2f}s, {req_s:.2f} req/s, {tok_s:.0f} total tok/s, "
-        f"{gen_tok_s:.0f} gen tok/s, p50 TTFT {p50_ttft:.2f}s\n")
+        f"# [{tag}] {num_prompts} reqs {input_len}in/{output_len}out: "
+        f"{elapsed:.2f}s, {num_prompts / elapsed:.2f} req/s, "
+        f"{tok_s:.0f} total tok/s, {gen_tok_s:.0f} gen tok/s, "
+        f"p50 TTFT {p50_ttft:.2f}s\n")
+    return dict(total_tok_s=round(tok_s, 1),
+                gen_tok_s=round(gen_tok_s, 1),
+                p50_ttft_s=round(p50_ttft, 3),
+                req_s=round(num_prompts / elapsed, 2),
+                warmup_s=round(warmup_s, 1))
+
+
+def main():
+    num_prompts = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+
+    res = {}
+    llm = build_llm(qwen2_1_5b_config(), max_num_seqs=128)
+    res["qwen2"] = run_workload(llm, num_prompts, 256, 16, "qwen2-1.5b")
+    del llm
+
+    extra = {}
+    if not int(os.environ.get("LVT_BENCH_SKIP_8B", "0")):
+        cfg8 = llama3_8b_config()
+        llm8 = build_llm(cfg8, max_num_seqs=128, quantization="fp8",
+                         kv_cache_dtype="fp8")
+        n8 = max(num_prompts // 2, 64)
+        r8 = run_workload(llm8, n8, 256, 16, "llama3-8b-fp8")
+        mfu = r8["total_tok_s"] * 2 * matmul_params(cfg8) / V5E_BF16_PEAK
+        extra["llama3_8b_fp8"] = dict(r8, mfu=round(mfu, 4))
+        del llm8
 
     print(json.dumps({
         "metric": "total_throughput_qwen2_1.5b_bf16_256in_16out",
-        "value": round(tok_s, 1),
+        "value": res["qwen2"]["total_tok_s"],
         "unit": "tok/s/chip",
-        "vs_baseline": round(tok_s / 16100.0, 3),
+        "vs_baseline": round(res["qwen2"]["total_tok_s"] / 16100.0, 3),
+        "extra": dict(qwen2=res["qwen2"], **extra),
     }))
 
 

@@ -89,3 +89,56 @@ class AsyncExecutor(Executor):
             self.executor_in.put(None)
             self.executor_thread.join(timeout=5.0)
             self.executor_thread = None
+
+
+class DoubleBufferExecutor(AsyncExecutor):
+    """Async executor that additionally pre-stages batch N+1's host→device
+    transfer while batch N computes (reference: core/executor.py:95
+    double_buffer_execute_loop — its second CUDA stream becomes an async
+    jax.device_put here: the transfer engine runs it concurrently with the
+    step executable, so the h2d latency of large prefill blobs leaves the
+    step critical path)."""
+
+    def _execute_loop(self) -> None:
+        staged = None  # (tag, execute_input) with inputs already on device
+        shutdown = False
+        while True:
+            if staged is None:
+                item = self.executor_in.get()
+                if item is None:
+                    return
+                staged = self._stage(item)
+            tag, execute_input = staged
+            staged = None
+            # Opportunistically start the NEXT batch's h2d before running
+            # this one: device_put is async, so the copy overlaps compute.
+            try:
+                nxt = self.executor_in.get_nowait()
+                if nxt is None:
+                    shutdown = True
+                else:
+                    staged = self._stage(nxt)
+            except queue.Empty:
+                pass
+            try:
+                out = self.worker(execute_input)
+                self.executor_out.put((tag, out))
+            except Exception as e:  # ferry exceptions to the engine thread
+                logger.error("executor thread error: %s\n%s", e,
+                             traceback.format_exc())
+                self.executor_out.put((tag, e))
+            if shutdown:
+                return
+
+    def _stage(self, item):
+        tag, execute_input = item
+        try:
+            pre = getattr(self.worker, "pre_transfer", None)
+            if pre is not None:
+                execute_input = pre(execute_input)
+        except Exception:
+            # Staging is an optimization; the worker transfer path still
+            # handles host arrays.
+            logger.warning("double-buffer pre-transfer failed; falling "
+                           "back to dispatch-time h2d", exc_info=True)
+        return (tag, execute_input)

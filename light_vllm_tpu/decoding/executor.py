@@ -3,7 +3,8 @@
 (reference: light_vllm/decoding/executor/gpu_executor.py:27-157)
 """
 
-from light_vllm_tpu.core.executor import AsyncExecutor, Executor
+from light_vllm_tpu.core.executor import (AsyncExecutor,
+                                          DoubleBufferExecutor, Executor)
 from light_vllm_tpu.core.workflow import lazy_import
 from light_vllm_tpu.logger import init_logger
 
@@ -38,5 +39,13 @@ class DecodingAsyncExecutor(_KVInitMixin, AsyncExecutor):
 
     @classmethod
     def from_engine(cls, engine) -> "DecodingAsyncExecutor":
+        return cls(_build_worker(engine), engine.executor_in,
+                   engine.executor_out)
+
+
+class DecodingDoubleBufferExecutor(_KVInitMixin, DoubleBufferExecutor):
+
+    @classmethod
+    def from_engine(cls, engine) -> "DecodingDoubleBufferExecutor":
         return cls(_build_worker(engine), engine.executor_in,
                    engine.executor_out)

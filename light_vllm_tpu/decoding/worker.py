@@ -492,6 +492,25 @@ class DecodingWorker(WorkerBase):
             num_cpu_blocks, mc.dtype, self.mesh,
             stacked=getattr(self.model, "scan_layers", False))
 
+    def pre_transfer(self, execute_input: ExecuteInput) -> ExecuteInput:
+        """Double-buffer staging hook: start the blob's host→device copy
+        now (async) so it overlaps the previous step's compute
+        (reference: core/executor.py:95 double_buffer_execute_loop's
+        second stream). The jitted step accepts the resulting committed
+        device array directly."""
+        mi = execute_input.model_input
+        if mi is None or getattr(mi, "blob", None) is None:
+            return execute_input
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            mi.blob = jax.device_put(mi.blob,
+                                     NamedSharding(self.mesh, P()))
+        else:
+            mi.blob = jax.device_put(mi.blob)
+        return execute_input
+
     # --- step ----------------------------------------------------------------
     def __call__(self, execute_input: ExecuteInput) -> DecodingExecuteOutput:
         begin = time.perf_counter()

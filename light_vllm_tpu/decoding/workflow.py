@@ -23,7 +23,11 @@ class DecodingWorkflow(Workflow):
     def from_engine(cls, engine):
         sc = engine.engine_config.scheduler_config
         cls = type(cls.__name__, (cls,), {})
-        if getattr(sc, "scheduling", "sync") != "sync":
+        scheduling = getattr(sc, "scheduling", "sync")
+        if scheduling == "double_buffer":
+            cls.Executor = ("light_vllm_tpu.decoding.executor:"
+                            "DecodingDoubleBufferExecutor")
+        elif scheduling != "sync":
             cls.Executor = ("light_vllm_tpu.decoding.executor:"
                             "DecodingAsyncExecutor")
         return cls

@@ -22,7 +22,8 @@ def tiny_qwen2():
     return cfg, model
 
 
-@pytest.mark.parametrize("scheduling", ["simple_async", "async"])
+@pytest.mark.parametrize("scheduling",
+                         ["simple_async", "async", "double_buffer"])
 def test_async_matches_sync_greedy(tiny_qwen2, scheduling):
     from light_vllm_tpu import SamplingParams
 
