@@ -32,7 +32,12 @@ _STR_DTYPE_TO_JNP = {
 def resolve_dtype(dtype: Union[str, Any], default=jnp.bfloat16):
     if dtype is None:
         return default
+    # torch.dtype objects / "torch.float32" strings come from HF config
+    # torch_dtype fields (reference: config.py _get_and_verify_dtype).
+    if type(dtype).__module__ == "torch":
+        dtype = str(dtype)
     if isinstance(dtype, str):
+        dtype = dtype.removeprefix("torch.")
         if dtype not in _STR_DTYPE_TO_JNP:
             raise ValueError(f"unknown dtype {dtype!r}")
         out = _STR_DTYPE_TO_JNP[dtype]

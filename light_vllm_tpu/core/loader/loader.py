@@ -110,6 +110,68 @@ class DefaultModelLoader(BaseModelLoader):
         return self._finalize(model, params_np, mesh)
 
 
+class NpCacheModelLoader(DefaultModelLoader):
+    """load_format="np_cache": first load converts the checkpoint shards to
+    one mmap-able .npy per tensor; later loads stream from the cache
+    without re-parsing safetensors/pickle (reference:
+    core/loader/weight_utils.py:58-69 np-cache iterator). Population is
+    guarded by an exclusive flock so concurrent engine processes convert
+    once (reference: weight_utils.py:329 lock around downloads)."""
+
+    def load_params(self, model, engine_config, mesh=None):
+        import contextlib
+        import json
+        import os
+
+        model_path = engine_config.model_config.model
+        cache_dir = os.path.join(model_path, "np_cache")
+        manifest_path = os.path.join(cache_dir, "manifest.json")
+        os.makedirs(cache_dir, exist_ok=True)
+
+        @contextlib.contextmanager
+        def locked():
+            import fcntl
+
+            with open(os.path.join(cache_dir, ".lock"), "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+
+        with locked():
+            if not os.path.exists(manifest_path):
+                logger.info("populating np cache at %s", cache_dir)
+                from light_vllm_tpu.core.loader.hf_utils import (
+                    pt_weights_iterator, resolve_weight_files,
+                    safetensors_weights_iterator)
+
+                files = resolve_weight_files(model_path)
+                it = (safetensors_weights_iterator(files)
+                      if files[0].endswith(".safetensors")
+                      else pt_weights_iterator(files))
+                names = []
+                for i, (name, arr) in enumerate(it):
+                    np.save(os.path.join(cache_dir, f"{i}.npy"),
+                            np.asarray(arr), allow_pickle=False)
+                    names.append(name)
+                tmp = manifest_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(names, f)
+                os.replace(tmp, manifest_path)  # atomic publish
+
+        with open(manifest_path) as f:
+            names = json.load(f)
+
+        def cached_iter():
+            for i, name in enumerate(names):
+                yield name, np.load(os.path.join(cache_dir, f"{i}.npy"),
+                                    mmap_mode="r")
+
+        params_np = model.load_weights(cached_iter())
+        return self._finalize(model, params_np, mesh)
+
+
 class DummyModelLoader(BaseModelLoader):
     """Random init at full shape — profiling and benchmarks without
     checkpoints (reference: loader.py:294 DummyModelLoader)."""
@@ -151,4 +213,11 @@ def get_model_loader(load_config: LoadConfig) -> BaseModelLoader:
         return StateDictLoader(load_config)
     if fmt == "dummy":
         return DummyModelLoader(load_config)
+    if fmt == "np_cache":
+        return NpCacheModelLoader(load_config)
+    if fmt == "bitsandbytes":
+        raise ValueError(
+            "bitsandbytes checkpoints are CUDA-kernel-specific; on TPU "
+            "use quantization='int8'/'int4' with a GPTQ/AWQ checkpoint "
+            "(layers/quant/ingest.py) instead")
     return DefaultModelLoader(load_config)
