@@ -34,6 +34,8 @@ class StatsLogger:
         self.gen_tokens = 0
         self.preempted = 0
         self.steps = 0
+        self.real_tokens = 0
+        self.padded_tokens = 0
 
     def on_step(self, scheduler_output, request_outputs: List,
                 scheduler=None) -> None:
@@ -54,6 +56,10 @@ class StatsLogger:
             self.prompt_tokens += prefill_toks
             self.gen_tokens += (batched - prefill_toks) * multi_step
         self.preempted += getattr(scheduler_output, "preempted", 0)
+        padded = getattr(scheduler_output, "padded_tokens", 0)
+        if padded:
+            self.real_tokens += batched
+            self.padded_tokens += padded
 
         now = time.perf_counter()
         dt = now - self.last_flush
@@ -75,6 +81,11 @@ class StatsLogger:
                 if total:
                     parts.append(
                         f"KV usage {100.0 * (total - free) / total:.1f}%")
+        if self.padded_tokens:
+            # Bucket-padding occupancy: real scheduled tokens / padded
+            # executable token region (100% = no padding waste).
+            parts.append(
+                f"occupancy {100.0 * self.real_tokens / self.padded_tokens:.0f}%")
         if self.preempted:
             parts.append(f"preempted {self.preempted}")
         logger.info("engine: %s", ", ".join(parts))

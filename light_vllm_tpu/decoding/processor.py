@@ -235,6 +235,9 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             [row["query_len"] for row in refs] for refs in meta_row_refs]
         scheduler_output.sample_starts = [
             [row["chunk_start"] for row in refs] for refs in meta_row_refs]
+        # Padding-occupancy metric: the executable computes T token rows
+        # for this many real ones (StatsLogger reports the ratio).
+        scheduler_output.padded_tokens = T
 
         # prompt_logprobs: target-id row per prefill token (the NEXT prompt
         # token; -1 = no target). The step computes, chunked over T, the
