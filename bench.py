@@ -74,7 +74,9 @@ def build_llm(cfg, max_num_seqs, dtype="bfloat16", quantization=None,
 
     scheduling = os.environ.get("LVT_BENCH_SCHEDULING", "sync")
     chunked = bool(int(os.environ.get("LVT_BENCH_CHUNKED", "0")))
-    mnbt = int(os.environ.get("LVT_BENCH_MNBT", "1920"))
+    # Static-shape mode's tile-aware budget packs prefill steps into the
+    # 2048-token bucket (chunked mode reserves 128 rows for decodes).
+    mnbt = int(os.environ.get("LVT_BENCH_MNBT", "2048"))
     steps = int(os.environ.get("LVT_BENCH_STEPS", "8"))
     return LLM(hf_config=cfg, load_format="dummy", dtype=dtype,
                quantization=quantization, kv_cache_dtype=kv_cache_dtype,
@@ -82,8 +84,6 @@ def build_llm(cfg, max_num_seqs, dtype="bfloat16", quantization=None,
                max_num_seqs=max_num_seqs,
                enable_chunked_prefill=chunked,
                scheduling=scheduling,
-               # 7 x 256-token prompts + a 128-row decode region fill the
-               # 2048 token bucket with ~6% padding.
                max_num_batched_tokens=mnbt,
                num_scheduler_steps=steps,
                swap_space=1.0)

@@ -66,6 +66,44 @@ def pick_seq_bucket(n: int) -> int:
     return next_power_of_2(n)
 
 
+def static_shapes_enabled() -> bool:
+    """Static-shape mode pads every step to a fixed (T, S) per step kind so
+    the executable set is enumerable (and precompilable) ahead of time —
+    ramp-up, async scheduling and chunked prefill then never hit a mid-run
+    XLA compile (each one stalls serving for the full remote-compile
+    latency). Default: on for TPU, off for CPU (tests want tiny shapes)."""
+    from light_vllm_tpu import envs
+    v = str(envs.LVT_STATIC_SHAPES)
+    if v == "auto":
+        from light_vllm_tpu.platforms import current_platform
+        return current_platform().is_tpu
+    return v == "1"
+
+
+# In non-chunked (whole-prompt) scheduling the static prefill T floor is
+# capped here: padding every prefill step to a huge max_num_batched_tokens
+# would waste compute when prompts are short; longer batches walk the
+# bucket ladder lazily instead.
+_STATIC_T_FLOOR_CAP = 2048
+
+
+def static_prefill_token_bucket(max_num_batched_tokens: int,
+                                enable_chunked_prefill: bool) -> int:
+    cap = max_num_batched_tokens if enable_chunked_prefill \
+        else min(max_num_batched_tokens, _STATIC_T_FLOOR_CAP)
+    return pick_token_bucket(cap)
+
+
+def blob_len(T: int, S: int, NT: int, P: int, max_out: int,
+             prompt_len: int = 0, ban_len: int = 0, has_plp: bool = False,
+             lp_width: int = 0) -> int:
+    """Total i32 length of the packed step blob (must mirror the
+    `parts` concatenation in DecodingModelInputBuilder.__call__)."""
+    n = 4 * T + 8 * S + 6 * S + 2 * NT + S * P + S * max_out
+    n += S * prompt_len + S * ban_len + (T if has_plp else 0) + lp_width
+    return n
+
+
 class DecodingRequestProcessor(RequestProcessor):
     """TextRequest → SequenceGroup (tokenize, Sequence construction, eos
     wiring; reference: decoding/processor/input_processor.py)."""
@@ -106,12 +144,19 @@ class DecodingRequestProcessor(RequestProcessor):
 class DecodingModelInputBuilder(ModelInputBuilder):
 
     def __init__(self, block_size: int, max_model_len: int,
-                 max_num_seqs: int, vocab_size: int) -> None:
+                 max_num_seqs: int, vocab_size: int,
+                 max_num_batched_tokens: int = 0,
+                 enable_chunked_prefill: bool = False,
+                 static_shapes: Optional[bool] = None) -> None:
         self.block_size = block_size
         self.max_model_len = max_model_len
         self.max_num_seqs = max_num_seqs
         self.max_pages = cdiv(max_model_len, block_size)
         self.vocab_size = vocab_size
+        self.max_num_batched_tokens = max_num_batched_tokens
+        self.enable_chunked_prefill = enable_chunked_prefill
+        self.static_shapes = static_shapes_enabled() \
+            if static_shapes is None else static_shapes
 
     @classmethod
     def from_engine(cls, engine) -> "DecodingModelInputBuilder":
@@ -119,7 +164,9 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         mc = engine.engine_config.model_config
         sc = engine.engine_config.scheduler_config
         return cls(cc.block_size, mc.max_model_len, sc.max_num_seqs,
-                   mc.get_vocab_size())
+                   mc.get_vocab_size(),
+                   max_num_batched_tokens=sc.max_num_batched_tokens,
+                   enable_chunked_prefill=sc.enable_chunked_prefill)
 
     TILE_Q = 128  # must match ops/prefill_attention_pallas.TILE_Q
 
@@ -156,7 +203,19 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         D_real = len(decode_rows)
         n_prefill = len(prefill_rows)
         TQ = self.TILE_Q
-        if n_prefill:
+        if self.static_shapes:
+            # Fixed regions per step KIND (pure prefill / mixed / pure
+            # decode): the executable set becomes enumerable ahead of time
+            # (see static_precompile_specs), so ramp-up and async modes
+            # never discover new (T, S) shapes mid-run. Decode rows are
+            # weight-bandwidth-bound, so padding the decode region to the
+            # max_num_seqs cap is nearly free.
+            if n_prefill:
+                decode_region = cdiv(self.max_num_seqs, TQ) * TQ \
+                    if D_real else 0
+            else:
+                decode_region = pick_seq_bucket(self.max_num_seqs)
+        elif n_prefill:
             decode_region = cdiv(max(D_real, 1), TQ) * TQ if D_real else 0
         else:
             decode_region = pick_seq_bucket(max(D_real, 1))
@@ -175,6 +234,13 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             cursor += cdiv(row["query_len"], TQ) * TQ
         if n_prefill:
             T = max(pick_token_bucket(max(cursor, 1)), decode_region)
+            if self.static_shapes and self.max_num_batched_tokens:
+                # Pad up to the scheduler budget's bucket: steady-state and
+                # tail/ramp steps then share ONE executable (the budget's
+                # tile accounting keeps cursor inside this bucket).
+                T = max(T, static_prefill_token_bucket(
+                    self.max_num_batched_tokens,
+                    self.enable_chunked_prefill))
         else:
             # Pure decode: one token per row — T is exactly the (bucketed)
             # decode region so the multi-step T == S eligibility holds.
@@ -183,6 +249,11 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         # The decode kernel runs over rows [0, decode_region): the seq-slot
         # arrays must cover that range or the kernel reads junk block ids.
         S = max(pick_seq_bucket(max(S_real, 1)), decode_region)
+        if self.static_shapes and n_prefill:
+            # Prefill slots live at [decode_region, decode_region +
+            # n_prefill); fix S at the worst case so slot-count ramps don't
+            # mint new executables.
+            S = max(S, pick_seq_bucket(decode_region + self.max_num_seqs))
 
         input_ids = np.zeros(T, dtype=np.int32)
         pos_arr = np.zeros(T, dtype=np.int32)
@@ -413,3 +484,58 @@ class DecodingModelInputBuilder(ModelInputBuilder):
                             repetition])
         return (seq_f32, top_k, seeds, out_tokens, prompt_tokens,
                 use_penalties, use_topkp, all_greedy, ban_tokens, ban_active)
+
+
+def static_precompile_specs(max_num_seqs: int, max_num_batched_tokens: int,
+                            enable_chunked_prefill: bool, max_pages: int,
+                            num_scheduler_steps: int = 1,
+                            greedy_only: bool = False):
+    """Enumerate the executable set static-shape mode can reach on the
+    common (no penalties / no logprobs / no prompt_logprobs) path, for AOT
+    precompilation at engine init.
+
+    Returns a list of (key, blob_len) where key is either the step-fn key
+    tuple (DecodingModelRunner._make_step_fn argument order) or the
+    multi-step key ("ms", ...). Batches outside this set (penalties,
+    logprobs, per-request logits processors) fall back to lazy jit."""
+    TQ = DecodingModelInputBuilder.TILE_Q
+    P = max_pages
+    S_dec = pick_seq_bucket(max_num_seqs)
+    dr_mix = cdiv(max_num_seqs, TQ) * TQ
+    T_pre = static_prefill_token_bucket(max_num_batched_tokens,
+                                        enable_chunked_prefill)
+    S_pre = pick_seq_bucket(max_num_seqs)
+    S_mix = pick_seq_bucket(dr_mix + max_num_seqs)
+
+    # (use_topkp, all_greedy) sampling variants.
+    variants = [(False, True)] if greedy_only \
+        else [(False, True), (True, False)]
+    specs = []
+    for topkp, greedy in variants:
+        # step key order: (use_penalties, use_topkp, num_logprobs,
+        # has_prompt_tokens, decode_region, min(num_prefill_seqs, 1), T, S,
+        # NT, P, max_out, prompt_len, ban_len, all_greedy, has_plp, plp_k,
+        # lp_width)
+        def step_key(dr, pref, T, S, NT):
+            return (False, topkp, 0, False, dr, pref, T, S, NT, P, 1,
+                    0, 0, greedy, False, 0, 0)
+
+        # pure prefill
+        specs.append((step_key(0, 1, T_pre, S_pre, max(T_pre // TQ, 1)),
+                      blob_len(T_pre, S_pre, max(T_pre // TQ, 1), P, 1)))
+        if enable_chunked_prefill:
+            # mixed decode+prefill (only chunked scheduling emits these)
+            specs.append(
+                (step_key(dr_mix, 1, max(T_pre, dr_mix), S_mix,
+                          max(max(T_pre, dr_mix) // TQ, 1)),
+                 blob_len(max(T_pre, dr_mix), S_mix,
+                          max(max(T_pre, dr_mix) // TQ, 1), P, 1)))
+        # pure decode, single step
+        specs.append((step_key(S_dec, 0, S_dec, S_dec, 1),
+                      blob_len(S_dec, S_dec, 1, P, 1)))
+        if num_scheduler_steps > 1:
+            # multi-step key order mirrors DecodingModelRunner.execute
+            specs.append((("ms", topkp, S_dec, P, num_scheduler_steps, 1, 1,
+                           greedy),
+                          blob_len(S_dec, S_dec, 1, P, 1)))
+    return specs

@@ -54,15 +54,19 @@ class DecodingSchedulingBudget:
     XLA recompile — this was measured to dominate chunked-mode serving)."""
 
     def __init__(self, token_budget: int, max_num_seqs: int,
-                 tile: int = 0, tile_cap: int = 0) -> None:
+                 tile: int = 0, tile_cap: int = 0,
+                 reserve_decode: bool = True) -> None:
         self.token_budget = token_budget
         self.max_num_seqs = max_num_seqs
         self.num_batched_tokens = 0
         self.num_curr_seqs = 0
         # Reserve the (worst-case) decode region upfront: decode rows are
         # capped by max_num_seqs, so the reservation is deterministic and
-        # admission order-independent.
-        reserve = cdiv(max_num_seqs, tile) * tile if tile else 0
+        # admission order-independent. Prefill-priority scheduling never
+        # mixes decodes into a prefill step, so it passes
+        # reserve_decode=False and prompts may fill the whole tile cap.
+        reserve = cdiv(max_num_seqs, tile) * tile \
+            if (tile and reserve_decode) else 0
         if not tile or not tile_cap or reserve + tile > tile_cap:
             tile_cap = 0  # tile accounting disabled / infeasible
             tile = 0  # chunks must not tile-align either (raw budgeting)
@@ -71,12 +75,20 @@ class DecodingSchedulingBudget:
         self._decode_reserve = reserve if tile_cap else 0
         self.num_tile_tokens = 0  # aligned prefill tokens admitted
 
-    def can_schedule(self, *, num_new_tokens: int, num_new_seqs: int) -> bool:
+    def can_schedule(self, *, num_new_tokens: int, num_new_seqs: int,
+                     prefill: bool = False) -> bool:
         assert num_new_tokens >= 0 and num_new_seqs >= 0
         if num_new_tokens == 0:
             return False
-        return (self.num_batched_tokens + num_new_tokens <= self.token_budget
-                and self.num_curr_seqs + num_new_seqs <= self.max_num_seqs)
+        ok = (self.num_batched_tokens + num_new_tokens <= self.token_budget
+              and self.num_curr_seqs + num_new_seqs <= self.max_num_seqs)
+        if ok and prefill and self.tile_cap:
+            # Whole-prompt admission must also fit the tile-aligned region
+            # (chunked admission pre-aligns via remaining_chunk_allowance).
+            aligned = cdiv(num_new_tokens, self.tile) * self.tile
+            ok = (self._decode_reserve + self.num_tile_tokens + aligned
+                  <= self.tile_cap)
+        return ok
 
     def remaining_token_budget(self) -> int:
         return self.token_budget - self.num_batched_tokens
@@ -125,6 +137,8 @@ class DecodingScheduler(Scheduler):
         self.num_cumulative_preemption = 0
         self.artificial_preempt = bool(
             envs.LVT_TEST_ENABLE_ARTIFICIAL_PREEMPT)
+        from light_vllm_tpu.decoding.processor import static_shapes_enabled
+        self._static_shapes = static_shapes_enabled()
 
     @classmethod
     def from_engine(cls, engine) -> "DecodingScheduler":
@@ -134,18 +148,22 @@ class DecodingScheduler(Scheduler):
 
     # ------------------------------------------------------------------ api
     def schedule(self) -> DecodingSchedulerOutput:
-        if self.scheduler_config.enable_chunked_prefill:
+        chunked = self.scheduler_config.enable_chunked_prefill
+        if chunked or self._static_shapes:
             # Tile-aware budget: keep the builder's padded token region in
-            # one bucket (see DecodingSchedulingBudget docstring).
+            # one bucket (see DecodingSchedulingBudget docstring). Static-
+            # shape mode needs the same accounting in default scheduling so
+            # every prefill step lands in the precompiled T bucket.
             from light_vllm_tpu.decoding.processor import (
-                DecodingModelInputBuilder, pick_token_bucket)
+                DecodingModelInputBuilder, static_prefill_token_bucket)
             tile = DecodingModelInputBuilder.TILE_Q
-            tile_cap = pick_token_bucket(
-                self.scheduler_config.max_num_batched_tokens)
+            tile_cap = static_prefill_token_bucket(
+                self.scheduler_config.max_num_batched_tokens, chunked)
             budget = DecodingSchedulingBudget(
                 self.scheduler_config.max_num_batched_tokens,
                 self.scheduler_config.max_num_seqs,
-                tile=tile, tile_cap=tile_cap)
+                tile=tile, tile_cap=tile_cap,
+                reserve_decode=chunked)
         else:
             budget = DecodingSchedulingBudget(
                 self.scheduler_config.max_num_batched_tokens,
@@ -262,7 +280,8 @@ class DecodingScheduler(Scheduler):
                     seq_group, budget, enable_chunking)
                 num_seqs = seq_group.num_seqs(SequenceStatus.RUNNING)
                 if num_new == 0 or not budget.can_schedule(
-                        num_new_tokens=num_new, num_new_seqs=0):
+                        num_new_tokens=num_new, num_new_seqs=0,
+                        prefill=True):
                     running.append(seq_group)
                     continue
             else:
@@ -400,7 +419,8 @@ class DecodingScheduler(Scheduler):
                                                    enable_chunking)
             num_seqs = seq_group.get_max_num_running_seqs()
             if num_new == 0 or not budget.can_schedule(
-                    num_new_tokens=num_new, num_new_seqs=num_seqs):
+                    num_new_tokens=num_new, num_new_seqs=num_seqs,
+                    prefill=True):
                 break
             self.waiting.popleft()
             self.block_manager.allocate(seq_group)

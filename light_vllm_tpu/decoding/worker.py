@@ -350,6 +350,41 @@ class DecodingModelRunner:
 
         return jax.jit(step, donate_argnums=(1,))
 
+    def precompile(self, specs, kv_caches, max_workers: int = 8) -> None:
+        """AOT-compile the static-shape executable set (from
+        static_precompile_specs) in parallel threads. XLA compilation
+        releases the GIL, so with a remote compile service the wall time is
+        ~one compile instead of the serial sum — and serving then never
+        stalls on a mid-run compile (the TPU answer to the reference's CUDA
+        graph capture at init, reference: runner/model_runner.py warmup).
+
+        Compiled executables are stored in the same cache the lazy path
+        uses; keys not covered here (penalties, logprobs, ...) still jit
+        on first use."""
+        import concurrent.futures
+
+        t0 = time.perf_counter()
+
+        def build(spec):
+            key, nblob = spec
+            if key in self._step_cache:
+                return None
+            if key[0] == "ms":
+                _, topkp, S, P, K, NT, max_out, greedy = key
+                fn = self._make_multistep_fn(topkp, S, P, K, self.page_size,
+                                             NT, max_out, greedy)
+            else:
+                fn = self._make_step_fn(*key)
+            blob = jax.ShapeDtypeStruct((nblob,), jnp.int32)
+            compiled = fn.lower(self.params, kv_caches, blob).compile()
+            self._step_cache[key] = compiled
+            return key
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers) as pool:
+            done = [k for k in pool.map(build, specs) if k is not None]
+        logger.info("precompiled %d/%d step executables in %.1fs",
+                    len(done), len(specs), time.perf_counter() - t0)
+
     def execute(self, model_input: DecodingModelInput, kv_caches):
         K = model_input.multi_step
         if K > 1 and model_input.num_prefill_seqs == 0 \
@@ -491,6 +526,45 @@ class DecodingWorker(WorkerBase):
             self.attn_backend, mc.get_num_layers(), num_device_blocks,
             num_cpu_blocks, mc.dtype, self.mesh,
             stacked=getattr(self.model, "scan_layers", False))
+        self.maybe_precompile()
+
+    def maybe_precompile(self) -> None:
+        """AOT-compile the static-shape executable set at init (gated on
+        LVT_PRECOMPILE; needs static shapes — otherwise the reachable set
+        is unbounded)."""
+        from light_vllm_tpu import envs
+        from light_vllm_tpu.decoding.processor import (
+            static_precompile_specs, static_shapes_enabled)
+
+        mode = str(envs.LVT_PRECOMPILE)
+        if mode == "0" or not static_shapes_enabled():
+            return
+        sc = self.engine_config.scheduler_config
+        cc = self.engine_config.cache_config
+        mc = self.engine_config.model_config
+        # The executable set is enumerable only when the scheduler's tile
+        # accounting is feasible (mirrors DecodingSchedulingBudget's guard);
+        # otherwise batches overflow the static T bucket and precompiling
+        # would just waste compiles.
+        from light_vllm_tpu.decoding.processor import (
+            DecodingModelInputBuilder, static_prefill_token_bucket)
+        tile = DecodingModelInputBuilder.TILE_Q
+        tile_cap = static_prefill_token_bucket(
+            sc.max_num_batched_tokens, sc.enable_chunked_prefill)
+        reserve = (cdiv(sc.max_num_seqs, tile) * tile
+                   if sc.enable_chunked_prefill else 0)
+        if reserve + tile > tile_cap:
+            logger.info("precompile skipped: tile budget infeasible "
+                        "(reserve %d + tile %d > cap %d)", reserve, tile,
+                        tile_cap)
+            return
+        specs = static_precompile_specs(
+            sc.max_num_seqs, sc.max_num_batched_tokens,
+            sc.enable_chunked_prefill,
+            cdiv(mc.max_model_len, cc.block_size),
+            num_scheduler_steps=getattr(sc, "num_scheduler_steps", 1),
+            greedy_only=(mode == "greedy"))
+        self.runner.precompile(specs, self.cache_engine.kv_caches)
 
     def pre_transfer(self, execute_input: ExecuteInput) -> ExecuteInput:
         """Double-buffer staging hook: start the blob's host→device copy

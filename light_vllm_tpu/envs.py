@@ -30,6 +30,17 @@ environment_variables: Dict[str, Callable[[], Any]] = {
         int(os.environ.get("LVT_USE_NATIVE_RUNTIME", "1"))),
     # Token bucket padding policy: comma separated bucket sizes.
     "LVT_TOKEN_BUCKETS": lambda: os.environ.get("LVT_TOKEN_BUCKETS", None),
+    # Static-shape mode: pad every decoding step to a FIXED (T, S) per step
+    # kind (pure prefill / mixed / pure decode), collapsing the executable
+    # set to a handful of shapes so ramp-up and async scheduling never hit
+    # mid-run XLA compiles. "auto" = on for TPU, off for CPU tests.
+    "LVT_STATIC_SHAPES": lambda: os.environ.get("LVT_STATIC_SHAPES", "auto"),
+    # AOT-precompile the static executable set at engine init, in parallel
+    # threads (XLA compilation releases the GIL; with a remote compile
+    # service the wall time is ~the slowest single compile instead of the
+    # sum). "auto" = on when static shapes are on; "greedy" = only the
+    # greedy-sampling variants; "0" = off.
+    "LVT_PRECOMPILE": lambda: os.environ.get("LVT_PRECOMPILE", "auto"),
     # MoE expert-compute path: "grouped" (Pallas gmm) | "dense"
     # (masked-dense) | unset = auto by platform and batch size.
     "LVT_MOE_BACKEND": lambda: os.environ.get("LVT_MOE_BACKEND", None),
