@@ -267,24 +267,27 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         logits_idx = np.zeros(S, dtype=np.int32)
 
         all_rows = decode_rows + prefill_rows
+        bs = self.block_size
         for row in all_rows:
             s = row["slot"]
             start = row["chunk_start"]
-            bt = row["block_table"][:self.max_pages]  # lookahead may exceed
+            bt = np.asarray(row["block_table"][:self.max_pages],
+                            dtype=np.int32)  # lookahead may exceed
             block_tables[s, :len(bt)] = bt
             seq_lens[s] = row["kv_len"]
             ctx_lens[s] = row["ctx_len"]
             chunk_starts[s] = start
             chunk_lens[s] = row["query_len"]
             logits_idx[s] = start + row["query_len"] - 1
-            for i, tok in enumerate(row["new_ids"]):
-                pos = row["ctx_len"] + i
-                input_ids[start + i] = tok
-                pos_arr[start + i] = pos
-                seq_ids[start + i] = s
-                block = bt[pos // self.block_size]
-                slot_arr[start + i] = block * self.block_size \
-                    + pos % self.block_size
+            q = row["query_len"]
+            if q:
+                sl = slice(start, start + q)
+                pos = np.arange(row["ctx_len"], row["ctx_len"] + q,
+                                dtype=np.int32)
+                input_ids[sl] = row["new_ids"]
+                pos_arr[sl] = pos
+                seq_ids[sl] = s
+                slot_arr[sl] = bt[pos // bs] * bs + pos % bs
 
         # Pad tokens default seq_ids to slot S-1. If that slot is real the
         # reference impl computes (ignored) extra rows — harmless: pad KV
