@@ -23,6 +23,10 @@ import time
 
 import numpy as np
 
+# The bench workload is all-greedy: precompile only the greedy executable
+# variants (LVT_PRECOMPILE=auto would also compile the sampled ones).
+os.environ.setdefault("LVT_PRECOMPILE", "greedy")
+
 # Persistent compilation cache: first run pays remote-compile latency once;
 # later runs reuse executables.
 os.makedirs(os.path.expanduser("~/.cache/lvt_jax_cache"), exist_ok=True)
