@@ -466,6 +466,12 @@ class DecodingWorker(WorkerBase):
                 devices=pc.devices)
         else:
             self.mesh = None
+        if pc.tensor_parallel_size > 1:
+            # The Pallas stacked matmul is not GSPMD-partitionable; keep
+            # the XLA slice path so tp-sharded weight stacks still work.
+            from light_vllm_tpu.models import scan_utils
+
+            scan_utils.set_indexed_params_disabled(True)
 
     def load_model(self) -> None:
         from light_vllm_tpu.core.loader.loader import get_model_loader

@@ -54,6 +54,13 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # iteration. Trades a little compile time for less while-loop
     # overhead (dispatch + lost inter-layer overlap).
     "LVT_SCAN_UNROLL": lambda: int(os.environ.get("LVT_SCAN_UNROLL", "4")),
+    # Under the layer scan, feed linears the whole weight stack + layer
+    # index (Pallas stacked matmul) instead of an XLA dynamic-slice, which
+    # HLO remat re-executes (~5x weight-read roofline per decode step).
+    # "auto" = on TPU (off under tp>1 meshes — pallas is not GSPMD-
+    # partitionable); "1"/"0" force.
+    "LVT_INDEXED_PARAMS": lambda: os.environ.get("LVT_INDEXED_PARAMS",
+                                                 "auto"),
     # Step-level stats logging interval in seconds (0 disables).
     "LVT_LOG_STATS_INTERVAL": lambda: float(
         os.environ.get("LVT_LOG_STATS_INTERVAL", "10")),

@@ -34,6 +34,22 @@ class ParamSpec:
     init: Optional[Callable] = None
 
 
+@dataclass
+class StackedKernelRef:
+    """A layer-indexed view into a stacked [L, K, N] weight — handed to
+    linear layers under scan-over-layers instead of a sliced array.
+
+    XLA's dynamic-slice of a weight stack inside the scanned decode step
+    is re-executed by HLO rematerialization (measured ~18 ms/step vs the
+    ~3 ms weight-read roofline on the 1.5B bench model); the Pallas
+    stacked matmul (ops/stacked_matmul_pallas.py) instead reads weight
+    tiles straight from the stack with the layer index scalar-prefetched,
+    so no slice ever exists for XLA to rematerialize."""
+
+    stack: jnp.ndarray   # [L, K, N]
+    layer_idx: Any       # traced scalar i32
+
+
 class Layer:
     """Base class; subclasses set self._specs: Dict[str, ParamSpec]."""
 

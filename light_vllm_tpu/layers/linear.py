@@ -18,7 +18,8 @@ from typing import Dict, List, Optional, Sequence
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from light_vllm_tpu.layers.base import Layer, ParamSpec, Params
+from light_vllm_tpu.layers.base import (Layer, ParamSpec, Params,
+                                        StackedKernelRef)
 
 
 class LinearMethodBase:
@@ -41,8 +42,15 @@ class UnquantizedLinearMethod(LinearMethodBase):
                                     kernel_pspec)}
 
     def apply(self, layer, params, x):
-        return jnp.dot(x, params["kernel"],
-                       preferred_element_type=x.dtype)
+        kernel = params["kernel"]
+        if isinstance(kernel, StackedKernelRef):
+            from light_vllm_tpu.ops.stacked_matmul_pallas import \
+                stacked_matmul
+            from light_vllm_tpu.platforms import current_platform
+
+            return stacked_matmul(x, kernel.stack, kernel.layer_idx,
+                                  interpret=not current_platform().is_tpu)
+        return jnp.dot(x, kernel, preferred_element_type=x.dtype)
 
 
 class LinearBase(Layer):

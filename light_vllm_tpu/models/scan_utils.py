@@ -24,6 +24,49 @@ import jax
 import jax.numpy as jnp
 
 from light_vllm_tpu import envs
+from light_vllm_tpu.layers.base import StackedKernelRef
+
+# Set True by the worker on tp>1 meshes: the Pallas stacked matmul is not
+# GSPMD-partitionable, so sharded runs keep the XLA dynamic-slice path.
+_INDEXED_DISABLED = False
+
+
+def set_indexed_params_disabled(v: bool) -> None:
+    global _INDEXED_DISABLED
+    _INDEXED_DISABLED = bool(v)
+
+
+def _indexed_enabled() -> bool:
+    """Whether scan bodies hand linears StackedKernelRefs (Pallas stacked
+    matmul) instead of XLA-sliced per-layer weights. XLA's HLO remat
+    re-executes weight-stack slices inside the multi-step while loop
+    (~5x the weight-read roofline, measured); the stacked kernel reads
+    tiles straight from the stack."""
+    if _INDEXED_DISABLED:
+        return False
+    v = envs.LVT_INDEXED_PARAMS
+    if v == "auto":
+        from light_vllm_tpu.platforms import current_platform
+
+        return current_platform().is_tpu
+    return bool(int(v))
+
+
+def _is_stacked_kernel(path, leaf) -> bool:
+    """Plain float [L, K, N] linear kernels only — quantized formats
+    (fp8/int8/int4) have their own apply() and keep the slice path."""
+    if not hasattr(leaf, "ndim") or leaf.ndim != 3:
+        return False
+    if leaf.dtype not in (jnp.bfloat16, jnp.float16, jnp.float32):
+        return False
+    last = path[-1]
+    key = getattr(last, "key", None) or getattr(last, "name", None)
+    if key != "kernel":
+        return False
+    from light_vllm_tpu.ops.stacked_matmul_pallas import \
+        stacked_matmul_supported
+
+    return stacked_matmul_supported(leaf.shape[1], leaf.shape[2])
 
 
 def _unroll(steps: int) -> int:
@@ -64,6 +107,35 @@ def scan_decoder_layers(layers: List[Any], params_layers: Any, x, kv_caches,
     L = kv_caches.shape[0]
     steps = L // period
     assert steps * period == L, (L, period)
+
+    if _indexed_enabled():
+        # Params do NOT stream through xs: the body closes over the whole
+        # stacked tree; big matmul kernels become StackedKernelRefs (the
+        # Pallas stacked matmul indexes the stack in place) and small
+        # leaves (norm weights, biases, scales) are dynamic-indexed —
+        # those copies are KBs.
+        from jax import tree_util as jtu
+
+        def make_pj(l):
+            def pick(path, leaf):
+                if _is_stacked_kernel(path, leaf):
+                    return StackedKernelRef(leaf, l)
+                return jax.lax.dynamic_index_in_dim(leaf, l, 0,
+                                                    keepdims=False)
+            return jtu.tree_map_with_path(pick, params_layers)
+
+        def body(carry, step_idx):
+            x, kv_all = carry
+            for j in range(period):
+                l = step_idx * period + j
+                x, kv_all = call_fn(layers[j], make_pj(l), x, kv_all, l)
+            return (x, kv_all), None
+
+        (x, kv_caches), _ = jax.lax.scan(
+            body, (x, kv_caches), jnp.arange(steps, dtype=jnp.int32),
+            unroll=_unroll(steps))
+        return x, kv_caches
+
     p_g = _group(params_layers, period) if period > 1 else params_layers
 
     def body(carry, xs):

@@ -11,12 +11,24 @@ One query token per sequence (decode steady state). Layout:
     kv_pages [P, page_size, 2*kvh, d]   (combined K|V cache, slots-major;
                                          page 0 = null)
     block_tables [S, max_pages] (scalar-prefetched)
-    seq_lens [S]                  (scalar-prefetched)
+    seq_lens [S]                  (scalar-prefetched + a [S,1] VMEM copy)
 
-Grid: (S / SEQ_BLOCK,). Each instance handles SEQ_BLOCK sequences at once:
-their page DMAs are issued together so transfer latencies overlap (decode
-attention is DMA-latency-bound at serving batch sizes — per-page copies are
-KBs), then each sequence's online-softmax block runs on the buffered pages.
+Grid: (S / SEQ_BLOCK,). Measured on real v5e hardware, batch decode
+attention is bound by per-op dispatch overhead, not DMA bandwidth: the
+useful FLOPs are ~1µs/layer and the KV read ~45µs, yet naive designs
+(per-page fetch loops with per-sequence online softmax — both this
+kernel's v1 and XLA's gather+batched-dot lowering) cost 1-3 ms/layer
+because they issue thousands of tiny vector/scalar ops. This kernel
+therefore:
+
+  - fetches KV in large per-sequence chunks (R = pages_per_fetch *
+    page_size tokens, targeting ~512) with double buffering, all pages of
+    a sequence sharing ONE DMA semaphore (bounded sflag usage),
+  - runs the per-(seq, kv-head) score and PV matmuls as static-addressed
+    MXU dots into a shared VMEM scores scratch,
+  - performs masking and the online-softmax update ONCE per chunk,
+    batched over the whole [B, kvh, G, R] block, instead of per sequence.
+
 GQA groups are static loops over kv heads.
 """
 
@@ -31,7 +43,9 @@ from light_vllm_tpu.utils import cdiv
 
 NEG_INF = -1e30
 
-SEQ_BLOCK = 16  # sequences per kernel instance
+SEQ_BLOCK = 8             # sequences per kernel instance (adaptive, see below)
+TARGET_CHUNK_TOKENS = 512  # per-sequence KV tokens fetched per chunk
+KV_BUF_BUDGET = 8 * 1024 * 1024  # double-buffered chunk scratch bytes
 
 
 def _decode_kernel(
@@ -41,14 +55,16 @@ def _decode_kernel(
     layer_ref,         # [1] SMEM — layer slice of the stacked cache
     # inputs
     q_ref,             # [B, kvh, G_pad, d] VMEM
-    kv_pages_hbm,      # [L, P, page_size, 2*kvh, d] ANY
+    sl_ref,            # [B, 1] i32 VMEM (vector copy of seq_lens)
+    kv_pages_hbm,      # [L, P, page_size*rows, d] ANY
     # outputs
     out_ref,           # [B, kvh, G_pad, d] VMEM
     # scratch
-    kv_buf,            # [2, B, ppf, page_size, 2*kvh, d] VMEM
+    kv_buf,            # [2, B, ppf, page_size*rows, d] VMEM
+    scores_ref,        # [B, kvh, G_pad, R] f32
     acc_ref,           # [B, kvh, G_pad, d] f32
     m_ref, l_ref,      # [B, kvh, G_pad, 128] f32
-    sems,              # DMA semaphores [2, B, ppf]
+    sems,              # DMA semaphores [2, B] (shared per sequence)
     *,
     page_size: int,
     pages_per_fetch: int,
@@ -63,6 +79,13 @@ def _decode_kernel(
     B = seq_block
     G, d = q_ref.shape[2], q_ref.shape[3]
     R = pages_per_fetch * page_size
+    rows = kvh if packed else 2 * kvh
+
+    # Uninitialized VMEM scratch may hold NaN/Inf bit patterns from other
+    # kernels; 0 * NaN = NaN would poison the (masked, p == 0) PV products.
+    @pl.when(inst == 0)
+    def _():
+        kv_buf[...] = jnp.zeros_like(kv_buf)
 
     def seq_len_of(b):
         return seq_lens_ref[inst * B + b]
@@ -70,124 +93,138 @@ def _decode_kernel(
     def num_pages_of(b):
         return (seq_len_of(b) + page_size - 1) // page_size
 
-    def win_start_of(b):
-        """First kv position the (single, last-token) query may attend."""
+    def start_page_of(b):
+        """First page the (single, last-token) query may attend into."""
         if sliding_window is None:
             return jnp.int32(0)
-        return jnp.maximum(seq_len_of(b) - sliding_window, 0)
+        return jnp.maximum(seq_len_of(b) - sliding_window, 0) // page_size
 
-    def start_page_of(b):
-        return win_start_of(b) // page_size
-
-    # max fetches across the block drives the shared loop; out-of-window
-    # pages are never fetched (their physical blocks were rotated anyway).
+    # max chunk span across the block drives the shared fetch loop;
+    # out-of-window pages are never fetched (their physical blocks were
+    # rotated anyway).
     max_span = num_pages_of(0) - start_page_of(0)
     for b in range(1, B):
         max_span = jnp.maximum(max_span,
                                num_pages_of(b) - start_page_of(b))
-    num_fetches = (max_span + pages_per_fetch - 1) // pages_per_fetch
+    num_chunks = (max_span + pages_per_fetch - 1) // pages_per_fetch
 
-    def dma(b, fetch_idx, slot, p):
-        page_idx = start_page_of(b) + fetch_idx * pages_per_fetch + p
+    def dma(b, chunk, slot, p):
+        page_idx = start_page_of(b) + chunk * pages_per_fetch + p
         page_id = block_tables_ref[inst * B + b, jnp.minimum(
             page_idx, block_tables_ref.shape[1] - 1)]
         return (pltpu.make_async_copy(
             kv_pages_hbm.at[layer_ref[0], page_id],
             kv_buf.at[slot, b, p],
-            sems.at[slot, b, p]), page_idx)
+            sems.at[slot, b]), page_idx)
 
-    def start_fetch(fetch_idx, slot):
+    def start_fetch(chunk, slot):
         for b in range(B):
             for p in range(pages_per_fetch):
-                c, page_idx = dma(b, fetch_idx, slot, p)
+                c, page_idx = dma(b, chunk, slot, p)
 
                 @pl.when(page_idx < num_pages_of(b))
                 def _():
                     c.start()
 
-    def wait_fetch(fetch_idx, slot):
+    def wait_fetch(chunk, slot):
+        # Waits mirror starts 1:1; the shared per-sequence semaphore counts
+        # bytes, so order within a sequence is irrelevant.
         for b in range(B):
             for p in range(pages_per_fetch):
-                c, page_idx = dma(b, fetch_idx, slot, p)
+                c, page_idx = dma(b, chunk, slot, p)
 
                 @pl.when(page_idx < num_pages_of(b))
                 def _():
                     c.wait()
 
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
 
-    @pl.when(num_fetches > 0)
+    # Batched per-sequence mask ingredients ([B, 1] vectors).
+    sl_vec = sl_ref[...]  # [B, 1] i32
+    if sliding_window is not None:
+        win_vec = jnp.maximum(sl_vec - sliding_window, 0)
+        start_page_vec = win_vec // page_size
+    else:
+        win_vec = None
+        start_page_vec = jnp.zeros_like(sl_vec)
+
+    @pl.when(num_chunks > 0)
     def _():
         start_fetch(0, 0)
 
-    def body(fetch_idx, _):
-        slot = fetch_idx % 2
-        next_slot = (fetch_idx + 1) % 2
+    def body(chunk, _):
+        slot = chunk % 2
+        next_slot = (chunk + 1) % 2
 
-        @pl.when(fetch_idx + 1 < num_fetches)
+        @pl.when(chunk + 1 < num_chunks)
         def _():
-            start_fetch(fetch_idx + 1, next_slot)
+            start_fetch(chunk + 1, next_slot)
 
-        wait_fetch(fetch_idx, slot)
+        wait_fetch(chunk, slot)
 
+        # ---- scores: one static-addressed dot per (b, kv-head) ----
         for b in range(B):
-            seq_len = seq_len_of(b)
-            base = (start_page_of(b) + fetch_idx * pages_per_fetch) \
-                * page_size
+            # [ppf, page_size*rows, d] -> [R, rows, d] (leading reshape)
+            kv3 = kv_buf[slot, b].reshape(R, rows, d)
+            for j in range(kvh):
+                q = q_ref[b, j].astype(jnp.float32) * scale  # [G, d]
+                k = kv3[:, j if packed else 2 * j, :]        # [R, d]
+                scores_ref[b, j] = jax.lax.dot_general(
+                    q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [G, R]
 
-            @pl.when(base < seq_len)
-            def _():
-                pos = base + jax.lax.broadcasted_iota(
-                    jnp.int32, (R, 1), 0)
-                row_valid = pos < seq_len
-                if sliding_window is not None:
-                    row_valid &= pos >= win_start_of(b)
-                kv = kv_buf[slot, b].reshape(
-                    R, kvh if packed else 2 * kvh, d)
-                for j in range(kvh):
-                    q = q_ref[b, j].astype(jnp.float32) * scale  # [G, d]
-                    if packed:
-                        # head_dim-64 lane packing: row j carries K_j in
-                        # lanes 0:64 and V_j in lanes 64:128. q's V lanes
-                        # are zero, so q·row == q·K_j; p·row puts p·V_j in
-                        # lanes 64:128 (sliced out by the caller).
-                        k = v = jnp.where(
-                            row_valid, kv[:, j, :].astype(jnp.float32),
-                            0.0)
-                    else:
-                        # interleaved layout: K_j at row 2j, V_j at 2j+1
-                        k = kv[:, 2 * j, :].astype(jnp.float32)
-                        v = jnp.where(
-                            row_valid,
-                            kv[:, 2 * j + 1, :].astype(jnp.float32), 0.0)
-                    scores = jax.lax.dot_general(
-                        q, k, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [G, R]
-                    if soft_cap is not None:
-                        scores = soft_cap * jnp.tanh(scores / soft_cap)
-                    scores = jnp.where(row_valid.reshape(1, R), scores,
-                                       NEG_INF)
+        # ---- masking + online softmax, batched over [B, kvh, G, R] ----
+        scores = scores_ref[...]
+        if soft_cap is not None:
+            scores = soft_cap * jnp.tanh(scores / soft_cap)
+        base = (start_page_vec + chunk * pages_per_fetch) * page_size
+        pos = base.reshape(B, 1, 1, 1) + jax.lax.broadcasted_iota(
+            jnp.int32, (B, 1, 1, R), 3)                      # [B,1,1,R]
+        valid = pos < sl_vec.reshape(B, 1, 1, 1)
+        if win_vec is not None:
+            valid &= pos >= win_vec.reshape(B, 1, 1, 1)
+        scores = jnp.where(valid, scores, NEG_INF)
 
-                    m_prev = m_ref[b, j, :, :1]
-                    m_cur = jnp.max(scores, axis=-1, keepdims=True)
-                    m_new = jnp.maximum(m_prev, m_cur)
-                    alpha = jnp.exp(m_prev - m_new)
-                    p = jnp.exp(scores - m_new)
-                    l_ref[b, j, :, :1] = alpha * l_ref[b, j, :, :1] + \
-                        jnp.sum(p, axis=-1, keepdims=True)
-                    acc_ref[b, j] = acc_ref[b, j] * alpha + \
-                        jax.lax.dot_general(
-                            p, v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                    m_ref[b, j, :, :1] = m_new
+        m_prev = m_ref[:, :, :, :1]                          # [B,kvh,G,1]
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)                          # [B,kvh,G,R]
+        l_ref[:, :, :, :1] = alpha * l_ref[:, :, :, :1] + \
+            jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:, :, :, :1] = m_new
+        scores_ref[...] = p
+        acc_ref[...] = acc_ref[...] * alpha
+
+        # ---- PV: one static-addressed dot per (b, kv-head) ----
+        for b in range(B):
+            kv3 = kv_buf[slot, b].reshape(R, rows, d)
+            for j in range(kvh):
+                v = kv3[:, j if packed else 2 * j + 1, :]    # [R, d]
+                acc_ref[b, j] += jax.lax.dot_general(
+                    scores_ref[b, j], v.astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         return 0
 
-    jax.lax.fori_loop(0, num_fetches, body, 0)
+    jax.lax.fori_loop(0, num_chunks, body, 0)
 
     l = jnp.maximum(l_ref[:, :, :, :1], 1e-30)
-    out_ref[:] = (acc_ref[:] / l).astype(out_ref.dtype)
+    out_ref[...] = (acc_ref[...] / l).astype(out_ref.dtype)
+
+
+def _pick_block_params(S, page_size, rows, d_k, itemsize):
+    """Pick (seq_block, pages_per_fetch) under the VMEM chunk budget."""
+    ppf = max(1, TARGET_CHUNK_TOKENS // page_size)
+    R = ppf * page_size
+    per_seq = 2 * R * rows * d_k * itemsize  # double-buffered chunk bytes
+    B = max(1, min(16, KV_BUF_BUDGET // per_seq, S))
+    while B * per_seq > KV_BUF_BUDGET and ppf > 1:
+        ppf //= 2
+        per_seq //= 2
+    return B, ppf
 
 
 @functools.partial(
@@ -203,7 +240,7 @@ def paged_attention_decode(
     *,
     page_size: int,
     scale: float,
-    pages_per_fetch: int = 8,
+    pages_per_fetch: int = 0,  # 0 = auto (TARGET_CHUNK_TOKENS / page_size)
     sliding_window=None,
     soft_cap=None,
     layer_idx=None,            # scalar i32 selecting the stacked layer
@@ -220,14 +257,19 @@ def paged_attention_decode(
     L, num_slots, kvh2, _ = kv_pages.shape
     kvh = kvh2 // 2
     G = h // kvh
-    B = min(SEQ_BLOCK, S)
     # head_dim 64 (Qwen2-0.5B class): Mosaic can't tile 64-lane arrays, so
     # reinterpret the per-head-interleaved cache [.., 2*kvh, 64] as
     # [.., kvh, 128] (pure reshape: K_j | V_j share a 128-lane row) and
     # zero-pad q's V lanes — see the packed branch in _decode_kernel.
     packed = d == 64
+    rows = kvh if packed else 2 * kvh
+    d_k = 128 if packed else d
+    B, ppf = _pick_block_params(S, page_size, rows, d_k,
+                                jnp.dtype(kv_pages.dtype).itemsize)
+    if pages_per_fetch:
+        ppf = pages_per_fetch
     # Pad the GQA group up to the sublane tile so q blocks are tileable;
-    # padded rows cost nothing (decode attention is DMA-bound).
+    # padded rows cost nothing (decode attention is overhead-bound).
     sublane = 16 if q.dtype == jnp.bfloat16 else 8
     G_pad = max(cdiv(G, sublane) * sublane, sublane)
     q_grouped = q.reshape(S, kvh, G, d)
@@ -236,22 +278,30 @@ def paged_attention_decode(
                                         (0, 0)))
     if packed:
         q_grouped = jnp.pad(q_grouped, ((0, 0), (0, 0), (0, 0), (0, 64)))
-        d_k = 128
-        kv = kv_pages.reshape(L, num_slots // page_size, page_size, kvh,
-                              128)
-        kv_rows = kvh
-    else:
-        d_k = d
-        kv = kv_pages.reshape(L, num_slots // page_size, page_size,
-                              2 * kvh, d)
-        kv_rows = 2 * kvh
+    # Flatten each page to a clean 2D [page_size*rows, d] tile (free
+    # reshape) — avoids sub-8-sublane [page_size, rows, d] VMEM tiles.
+    kv = kv_pages.reshape(L, num_slots // page_size, page_size * rows, d_k)
+
+    # Pad the batch to a multiple of the seq block (padded rows have
+    # seq_len 0: no DMAs, fully masked, l clamped).
+    S_pad = cdiv(S, B) * B
+    if S_pad != S:
+        q_grouped = jnp.pad(q_grouped, ((0, S_pad - S), (0, 0), (0, 0),
+                                        (0, 0)))
+        block_tables = jnp.pad(block_tables, ((0, S_pad - S), (0, 0)))
+        seq_lens = jnp.pad(seq_lens, (0, S_pad - S))
+
     layer_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    sl_vmem = seq_lens.astype(jnp.int32).reshape(S_pad, 1)
+    R = ppf * page_size
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(cdiv(S, B),),
+        grid=(S_pad // B,),
         in_specs=[
             pl.BlockSpec((B, kvh, G_pad, d_k), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # kv pages stay in HBM
         ],
@@ -259,26 +309,26 @@ def paged_attention_decode(
                                lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, B, pages_per_fetch, page_size, kv_rows, d_k),
-                       kv_pages.dtype),
+            pltpu.VMEM((2, B, ppf, page_size * rows, d_k), kv_pages.dtype),
+            pltpu.VMEM((B, kvh, G_pad, R), jnp.float32),
             pltpu.VMEM((B, kvh, G_pad, d_k), jnp.float32),
             pltpu.VMEM((B, kvh, G_pad, 128), jnp.float32),
             pltpu.VMEM((B, kvh, G_pad, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, B, pages_per_fetch)),
+            pltpu.SemaphoreType.DMA((2, B)),
         ],
     )
 
     kernel = pl.pallas_call(
         functools.partial(_decode_kernel, page_size=page_size,
-                          pages_per_fetch=pages_per_fetch, scale=scale,
+                          pages_per_fetch=ppf, scale=scale,
                           kvh=kvh, seq_block=B,
                           sliding_window=sliding_window,
                           soft_cap=soft_cap, packed=packed),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, kvh, G_pad, d_k), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((S_pad, kvh, G_pad, d_k), q.dtype),
         interpret=interpret,
     )
-    out = kernel(block_tables, seq_lens, layer_arr, q_grouped, kv)
+    out = kernel(block_tables, seq_lens, layer_arr, q_grouped, sl_vmem, kv)
     if packed:
-        return out[:, :, :G, 64:].reshape(S, h, d)
-    return out[:, :, :G, :].reshape(S, h, d)
+        return out[:S, :, :G, 64:].reshape(S, h, d)
+    return out[:S, :, :G, :].reshape(S, h, d)

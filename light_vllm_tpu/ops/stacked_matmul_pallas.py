@@ -1,0 +1,98 @@
+"""Pallas TPU matmul over layer-stacked weights.
+
+Under scan-over-layers, per-layer weights live in [L, K, N] stacks. Slicing
+a layer out with XLA dynamic-slice materializes a full per-layer copy every
+scan iteration — measured ~20 ms/step on the 1.5B bench model (≈2× the
+entire weight-read roofline), because a dot operand must be a real buffer.
+This kernel instead reads weight tiles *directly from the stack* in HBM,
+with the layer index scalar-prefetched into the BlockSpec index_map — the
+TPU equivalent of indexed weight pointers, with zero copies.
+
+Grid (M/mt, N/nt, K/kt), K innermost with an f32 accumulator; Mosaic
+pipelines the HBM→VMEM tile fetches. Tile sizes are divisor-picked so no
+masking is needed (all model dims in the zoo divide cleanly; callers fall
+back to XLA slicing when they don't — see `stacked_matmul_supported`).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from light_vllm_tpu.utils import cdiv
+
+
+def _pick_tile(dim: int, target: int, align: int):
+    """Largest multiple of `align` that divides `dim` and is ≤ target."""
+    best = None
+    t = align
+    while t <= min(dim, target):
+        if dim % t == 0:
+            best = t
+        t += align
+    return best
+
+
+def stacked_matmul_supported(K: int, N: int) -> bool:
+    return _pick_tile(K, 2048, 256) is not None and \
+        _pick_tile(N, 1024, 256) is not None
+
+
+def _mm_kernel(l_ref, x_ref, w_ref, o_ref, acc_ref, *, nk: int):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stacked_matmul(
+    x: jnp.ndarray,        # [M, K]
+    w_stack: jnp.ndarray,  # [L, K, N]
+    layer_idx,             # scalar i32
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x @ w_stack[layer_idx] without materializing the layer slice."""
+    M, K = x.shape
+    L, K2, N = w_stack.shape
+    assert K == K2, (x.shape, w_stack.shape)
+    kt = _pick_tile(K, 2048, 256)
+    nt = _pick_tile(N, 1024, 256)
+    assert kt is not None and nt is not None, \
+        f"stacked_matmul needs tileable dims, got K={K} N={N}"
+    mt = min(max(M, 128), 512)
+    M_pad = cdiv(M, mt) * mt
+    if M_pad != M:
+        x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
+    layer_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    nk = K // kt
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M_pad // mt, N // nt, nk),
+        in_specs=[
+            pl.BlockSpec((mt, kt), lambda m, n, k, l: (m, k)),
+            pl.BlockSpec((1, kt, nt), lambda m, n, k, l: (l[0], k, n)),
+        ],
+        out_specs=pl.BlockSpec((mt, nt), lambda m, n, k, l: (m, n)),
+        scratch_shapes=[pltpu.VMEM((mt, nt), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_mm_kernel, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(layer_arr, x, w_stack)
+    return out[:M]
