@@ -46,6 +46,7 @@ class Executor:
 
     def execute_model(self, execute_input: ExecuteInput) -> ExecuteOutput:
         out = self.worker(execute_input)
+        out.start_readback()
         return out
 
     def shutdown_execute_loop(self) -> None:
@@ -78,6 +79,7 @@ class AsyncExecutor(Executor):
             tag, execute_input = item
             try:
                 out = self.worker(execute_input)
+                out.start_readback()
                 self.executor_out.put((tag, out))
             except Exception as e:  # ferry exceptions to the engine thread
                 logger.error("executor thread error: %s\n%s", e,
@@ -122,6 +124,7 @@ class DoubleBufferExecutor(AsyncExecutor):
                 pass
             try:
                 out = self.worker(execute_input)
+                out.start_readback()
                 self.executor_out.put((tag, out))
             except Exception as e:  # ferry exceptions to the engine thread
                 logger.error("executor thread error: %s\n%s", e,

@@ -65,6 +65,21 @@ class ExecuteOutput:
             if hasattr(v, "block_until_ready"):
                 v.block_until_ready()
 
+    def start_readback(self) -> None:
+        """Kick off async device→host copies of every device leaf.
+
+        The output processor's np.asarray() otherwise pays the full d2h
+        round-trip latency per step (dozens of ms over a remote-tunnel
+        device, independent of the few-KB payload); starting the copy at
+        dispatch time overlaps it with the step's device compute."""
+        for f in fields(self):
+            v = getattr(self, f.name)
+            if hasattr(v, "copy_to_host_async"):
+                try:
+                    v.copy_to_host_async()
+                except Exception:
+                    return  # best-effort: some backends lack the fast path
+
 
 @dataclass
 class IntermediateTensors:

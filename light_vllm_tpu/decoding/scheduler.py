@@ -401,8 +401,10 @@ class DecodingScheduler(Scheduler):
                 break
             seq = seq_group.get_seqs()[0]
             if seq.get_len() > self.scheduler_config.max_model_len:
-                logger.warning("prompt of %s longer than max_model_len; "
-                               "ignored", seq_group.request_id)
+                logger.warning(
+                    "request %s: prompt of %d tokens longer than "
+                    "max_model_len; ignored", seq_group.request_id,
+                    seq.get_len())
                 self.waiting.popleft()
                 self._ignore_group(seq_group, out)
                 continue

@@ -44,8 +44,18 @@ class Fp8LinearMethod(LinearMethodBase):
         return {"kernel": q.astype(jnp.float8_e4m3fn), "scale": scale}
 
     def apply(self, layer, params, x):
+        from light_vllm_tpu.layers.base import StackedKernelRef
+
         w = params["kernel"]
         scale = params["scale"]
+        if isinstance(w, StackedKernelRef):
+            from light_vllm_tpu.ops.stacked_matmul_pallas import \
+                stacked_quantized_matmul
+            from light_vllm_tpu.platforms import current_platform
+
+            return stacked_quantized_matmul(
+                x, w.stack, scale, w.layer_idx,
+                interpret=not current_platform().is_tpu)
         if self.use_pallas and _pallas_ok(x, w):
             from light_vllm_tpu.ops.quant_matmul_pallas import \
                 quantized_matmul

@@ -53,11 +53,13 @@ def _indexed_enabled() -> bool:
 
 
 def _is_stacked_kernel(path, leaf) -> bool:
-    """Plain float [L, K, N] linear kernels only — quantized formats
-    (fp8/int8/int4) have their own apply() and keep the slice path."""
+    """Float and fp8 [L, K, N] linear kernels — int8/int4 formats have
+    their own apply() without a StackedKernelRef branch and keep the
+    slice path."""
     if not hasattr(leaf, "ndim") or leaf.ndim != 3:
         return False
-    if leaf.dtype not in (jnp.bfloat16, jnp.float16, jnp.float32):
+    if leaf.dtype not in (jnp.bfloat16, jnp.float16, jnp.float32,
+                          jnp.float8_e4m3fn):
         return False
     last = path[-1]
     key = getattr(last, "key", None) or getattr(last, "name", None)

@@ -96,3 +96,70 @@ def stacked_matmul(
         interpret=interpret,
     )(layer_arr, x, w_stack)
     return out[:M]
+
+
+def _qmm_kernel(l_ref, x_ref, w_ref, scale_ref, o_ref, acc_ref, *, nk: int):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[0].astype(jnp.bfloat16)  # tile dequant happens on the MXU feed
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * scale_ref[...].astype(jnp.float32)
+                      ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stacked_quantized_matmul(
+    x: jnp.ndarray,        # [M, K] bf16/f32
+    w_stack: jnp.ndarray,  # [L, K, N] fp8/int8
+    scale: jnp.ndarray,    # [N] f32 per-output-channel (this layer's)
+    layer_idx,             # scalar i32
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Weight-only-quantized variant: (x @ dequant(w_stack[layer_idx])).
+
+    The weight stays quantized in HBM and VMEM; dequant happens on the
+    tile right before the MXU contraction (same contract as
+    ops/quant_matmul_pallas.py, plus the stack indexing)."""
+    M, K = x.shape
+    L, K2, N = w_stack.shape
+    assert K == K2 and scale.shape == (N,), (x.shape, w_stack.shape,
+                                             scale.shape)
+    kt = _pick_tile(K, 2048, 256)
+    nt = _pick_tile(N, 1024, 256)
+    assert kt is not None and nt is not None, \
+        f"stacked_quantized_matmul needs tileable dims, got K={K} N={N}"
+    mt = min(max(M, 128), 512)
+    M_pad = cdiv(M, mt) * mt
+    if M_pad != M:
+        x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
+    layer_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    nk = K // kt
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M_pad // mt, N // nt, nk),
+        in_specs=[
+            pl.BlockSpec((mt, kt), lambda m, n, k, l: (m, k)),
+            pl.BlockSpec((1, kt, nt), lambda m, n, k, l: (l[0], k, n)),
+            pl.BlockSpec((nt,), lambda m, n, k, l: (n,)),
+        ],
+        out_specs=pl.BlockSpec((mt, nt), lambda m, n, k, l: (m, n)),
+        scratch_shapes=[pltpu.VMEM((mt, nt), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(layer_arr, x, w_stack, scale)
+    return out[:M]

@@ -46,6 +46,27 @@ def test_bf16_parity():
     assert got.dtype == jnp.bfloat16
 
 
+def test_fp8_stacked_parity():
+    from light_vllm_tpu.ops.stacked_matmul_pallas import \
+        stacked_quantized_matmul
+
+    M, K, N, L = 64, 512, 768, 2
+    kx, kw = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(kx, (M, K), jnp.bfloat16)
+    wf = np.asarray(jax.random.normal(kw, (L, K, N), jnp.float32)) * 0.05
+    amax = np.abs(wf[1]).max(axis=0)
+    scale = np.maximum(amax / 448.0, 1e-12).astype(np.float32)
+    wq = jnp.asarray(np.clip(wf / scale[None, None, :], -448, 448),
+                     jnp.float8_e4m3fn)
+    got = stacked_quantized_matmul(x, wq, jnp.asarray(scale), jnp.int32(1),
+                                   interpret=True)
+    ref = jnp.dot(x, (wq[1].astype(jnp.bfloat16)),
+                  preferred_element_type=jnp.float32) * scale
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
 def test_supported_predicate():
     assert stacked_matmul_supported(1536, 2048)
     assert stacked_matmul_supported(8960, 17920)
