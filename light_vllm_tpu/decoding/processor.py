@@ -125,6 +125,11 @@ class DecodingRequestProcessor(RequestProcessor):
         params = request.params or SamplingParams()
         if params.best_of != params.n:
             raise NotImplementedError("best_of != n is not supported")
+        if params.truncate_prompt_tokens is not None:
+            # Keep only the LAST k prompt tokens (reference:
+            # backends/sampling_params.py truncate_prompt_tokens doc).
+            inputs.prompt_token_ids = \
+                inputs.prompt_token_ids[-params.truncate_prompt_tokens:]
         eos = self.tokenizer.eos_token_id
         # n > 1: n sibling sequences share the prompt's physical blocks; the
         # scheduler prefills the prompt once (siblings start with all but

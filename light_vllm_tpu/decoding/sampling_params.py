@@ -54,6 +54,14 @@ class SamplingParams(Params):
     # rows' raw logits and the host applies processors + penalties +
     # sampling for them (slow path; device result for the row is ignored).
     logits_processors: Optional[List[LogitsProcessorFn]] = None
+    # Keep only the LAST k prompt tokens (reference:
+    # backends/sampling_params.py:201 truncate_prompt_tokens).
+    truncate_prompt_tokens: Optional[int] = None
+    # Additive per-token logit bias / whitelist. The reference declares
+    # these (backends/sampling_params.py:211-212) but never consumes them;
+    # here they lower onto the per-request logits_processors host path.
+    logit_bias: Optional[Dict[int, float]] = None
+    allowed_token_ids: Optional[List[int]] = None
 
     def __post_init__(self):
         if self.best_of is None:
@@ -64,6 +72,31 @@ class SamplingParams(Params):
             self.stop = []
         if self.stop_token_ids is None:
             self.stop_token_ids = []
+        if self.logit_bias is not None:
+            bias = {int(t): float(b) for t, b in self.logit_bias.items()}
+
+            def _bias(_out_ids, logits, _bias=bias):
+                for t, b in _bias.items():
+                    logits[t] += b
+                return logits
+
+            self.logits_processors = [_bias] + (self.logits_processors
+                                                or [])
+        if self.allowed_token_ids is not None:
+            if not self.allowed_token_ids:
+                raise ValueError("allowed_token_ids must be non-empty")
+            import numpy as np
+
+            allowed = np.asarray(sorted(set(int(t) for t in
+                                            self.allowed_token_ids)))
+
+            def _allow(_out_ids, logits, _allowed=allowed):
+                mask = np.full_like(logits, -float("inf"))
+                mask[_allowed] = logits[_allowed]
+                return mask
+
+            self.logits_processors = [_allow] + (self.logits_processors
+                                                 or [])
         self._verify()
 
     def _verify(self) -> None:
@@ -89,6 +122,9 @@ class SamplingParams(Params):
             raise ValueError("max_tokens must be >= 1")
         if self.min_tokens < 0:
             raise ValueError("min_tokens must be >= 0")
+        if self.truncate_prompt_tokens is not None \
+                and self.truncate_prompt_tokens < 1:
+            raise ValueError("truncate_prompt_tokens must be >= 1")
 
     @property
     def sampling_type(self) -> SamplingType:

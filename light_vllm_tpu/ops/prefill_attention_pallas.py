@@ -121,6 +121,12 @@ def _prefill_kernel(
 
         start_fetch(0, 0)
         qdma.wait()
+        # Pre-scale q once per tile (native dtype) so the score dots run
+        # on unconverted operands — the per-fetch f32 upconverts were
+        # measurable VPU traffic.
+        q_buf[...] = q_buf[...] * scale
+        compute_dt = jnp.bfloat16 \
+            if jnp.dtype(kv_buf.dtype).itemsize <= 2 else kv_buf.dtype
 
         # absolute position of each q row: token index = q_start + row // G
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
@@ -149,19 +155,19 @@ def _prefill_kernel(
 
             kv = kv_buf[slot]  # [R, 2*kvh, d] (K/V interleaved per head)
             for j in range(kvh):
-                q = q_buf[:, j].reshape(rows, d).astype(jnp.float32) * scale
+                q = q_buf[:, j].reshape(rows, d)
                 if packed:
                     # head_dim-64 lane packing (see decode kernel): row j
                     # is K_j | V_j across 128 lanes; q's V lanes are zero.
-                    k = v = jnp.where(col_rows < seq_len,
-                                      kv[:, j, :].astype(jnp.float32), 0.0)
+                    k = v = jnp.where(col_rows < seq_len, kv[:, j, :],
+                                      jnp.zeros((), kv.dtype))
                 else:
-                    k = kv[:, 2 * j, :].astype(jnp.float32)
-                    v = jnp.where(
-                        col_rows < seq_len,
-                        kv[:, 2 * j + 1, :].astype(jnp.float32), 0.0)
+                    k = kv[:, 2 * j, :]
+                    v = jnp.where(col_rows < seq_len, kv[:, 2 * j + 1, :],
+                                  jnp.zeros((), kv.dtype))
                 scores = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
+                    q.astype(compute_dt), k.astype(compute_dt),
+                    (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [rows, R]
                 if soft_cap is not None:
                     scores = soft_cap * jnp.tanh(scores / soft_cap)
@@ -175,7 +181,8 @@ def _prefill_kernel(
                 l_ref[j, :, :1] = alpha * l_ref[j, :, :1] + jnp.sum(
                     p, axis=-1, keepdims=True)
                 acc_ref[j] = acc_ref[j] * alpha + jax.lax.dot_general(
-                    p, v, (((1,), (0,)), ((), ())),
+                    p.astype(compute_dt), v.astype(compute_dt),
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 m_ref[j, :, :1] = m_new
             return 0
@@ -209,7 +216,7 @@ def prefill_paged_attention(
     *,
     page_size: int,
     scale: float,
-    pages_per_fetch: int = 8,
+    pages_per_fetch: int = 0,  # 0 = auto: ~512-token chunks, VMEM-capped
     sliding_window=None,
     soft_cap=None,
     layer_idx=None,            # scalar i32 selecting the stacked layer
@@ -228,6 +235,15 @@ def prefill_paged_attention(
     sublane = 16 if q.dtype == jnp.bfloat16 else 8
     G_pad = max((G + sublane - 1) // sublane * sublane, sublane)
     NT = tile_seq.shape[0]
+    if not pages_per_fetch:
+        # ~512-token chunks: fewer fetch iterations (each runs a full
+        # mask + online-softmax round per kv head), capped so the
+        # double-buffered chunk scratch stays ≤ 4 MB.
+        pages_per_fetch = max(1, 512 // page_size)
+        item = jnp.dtype(kv_pages.dtype).itemsize
+        while 2 * pages_per_fetch * page_size * kvh2 * d * item \
+                > 4 * 1024 * 1024 and pages_per_fetch > 1:
+            pages_per_fetch //= 2
     R = pages_per_fetch * page_size
     q_grouped = q.reshape(Tpad, kvh, G, d)
     if G_pad != G:
