@@ -85,12 +85,14 @@ def build_llm(cfg, max_num_seqs, dtype="bfloat16", quantization=None,
     # 2048-token bucket (chunked mode reserves 128 rows for decodes).
     mnbt = int(os.environ.get("LVT_BENCH_MNBT", "2048"))
     steps = int(os.environ.get("LVT_BENCH_STEPS", "8"))
+    otf = os.environ.get("LVT_BENCH_ON_THE_FLY")
     return LLM(hf_config=cfg, load_format="dummy", dtype=dtype,
                quantization=quantization, kv_cache_dtype=kv_cache_dtype,
                max_model_len=2048, block_size=16,
                max_num_seqs=max_num_seqs,
                enable_chunked_prefill=chunked,
                scheduling=scheduling,
+               max_num_on_the_fly=int(otf) if otf else None,
                max_num_batched_tokens=mnbt,
                num_scheduler_steps=steps,
                swap_space=1.0)

@@ -15,6 +15,7 @@ runner/model_runner.py:32-187), re-designed for XLA:
 """
 
 import functools
+import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -380,6 +381,11 @@ class DecodingModelRunner:
             self._step_cache[key] = compiled
             return key
 
+        # Remote-compile tunnels (axon) have a fragile compile service:
+        # saturating it with 8 concurrent cold compiles has wedged the
+        # whole device claim. Keep concurrency low there.
+        if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+            max_workers = min(max_workers, 2)
         with concurrent.futures.ThreadPoolExecutor(max_workers) as pool:
             done = [k for k in pool.map(build, specs) if k is not None]
         logger.info("precompiled %d/%d step executables in %.1fs",

@@ -45,8 +45,8 @@ def _prefill_kernel(
     # outputs
     out_hbm,           # [Tpad, kvh, G, d] ANY
     # scratch
-    q_buf,             # [TILE_Q, kvh, G, d]
-    o_buf,             # [TILE_Q, kvh, G, d]
+    q_buf,             # [TILE_Q, kvh, G_pad, d]
+    o_buf,             # [TILE_Q, kvh, G_pad, d]
     kv_buf,            # [2, R, 2*kvh, d]
     acc_ref,           # [kvh, TILE_Q * G, d] f32
     m_ref, l_ref,      # [kvh, TILE_Q * G, 128] f32
@@ -56,6 +56,7 @@ def _prefill_kernel(
     pages_per_fetch: int,
     scale: float,
     kvh: int,
+    num_groups: int,   # true GQA group size G (q_buf is padded to G_pad)
     sliding_window=None,
     soft_cap=None,
     packed: bool = False,
@@ -69,8 +70,11 @@ def _prefill_kernel(
         seq_len = seq_lens_ref[s]
         ctx_len = ctx_lens_ref[s]
         seq_q_start = chunk_starts_ref[s]
-        G, d = q_buf.shape[2], q_buf.shape[3]
+        G, d = num_groups, q_buf.shape[3]
         R = pages_per_fetch * page_size
+        # Compute on the TRUE G rows (TILE_Q*G is always sublane-aligned
+        # since TILE_Q=128) — padding G to the sublane tile inside the
+        # score/softmax math would inflate every op G_pad/G-fold.
         rows = TILE_Q * G
 
         qdma = pltpu.make_async_copy(
@@ -155,7 +159,7 @@ def _prefill_kernel(
 
             kv = kv_buf[slot]  # [R, 2*kvh, d] (K/V interleaved per head)
             for j in range(kvh):
-                q = q_buf[:, j].reshape(rows, d)
+                q = q_buf[:, j, :G, :].reshape(rows, d)
                 if packed:
                     # head_dim-64 lane packing (see decode kernel): row j
                     # is K_j | V_j across 128 lanes; q's V lanes are zero.
@@ -191,7 +195,7 @@ def _prefill_kernel(
 
         for j in range(kvh):
             l = jnp.maximum(l_ref[j, :, :1], 1e-30)
-            o_buf[:, j] = (acc_ref[j] / l).reshape(
+            o_buf[:, j, :G, :] = (acc_ref[j] / l).reshape(
                 TILE_Q, G, d).astype(o_buf.dtype)
         odma = pltpu.make_async_copy(
             o_buf, out_hbm.at[pl.ds(q_start, TILE_Q)], o_sem)
@@ -274,9 +278,9 @@ def prefill_paged_attention(
             pltpu.VMEM((TILE_Q, kvh, G_pad, d_k), q.dtype),
             pltpu.VMEM((TILE_Q, kvh, G_pad, d_k), q.dtype),
             pltpu.VMEM((2, R, kv_rows, d_k), kv_pages.dtype),
-            pltpu.VMEM((kvh, TILE_Q * G_pad, d_k), jnp.float32),
-            pltpu.VMEM((kvh, TILE_Q * G_pad, 128), jnp.float32),
-            pltpu.VMEM((kvh, TILE_Q * G_pad, 128), jnp.float32),
+            pltpu.VMEM((kvh, TILE_Q * G, d_k), jnp.float32),
+            pltpu.VMEM((kvh, TILE_Q * G, 128), jnp.float32),
+            pltpu.VMEM((kvh, TILE_Q * G, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2, pages_per_fetch)),
@@ -286,7 +290,8 @@ def prefill_paged_attention(
     kernel = pl.pallas_call(
         functools.partial(_prefill_kernel, page_size=page_size,
                           pages_per_fetch=pages_per_fetch, scale=scale,
-                          kvh=kvh, sliding_window=sliding_window,
+                          kvh=kvh, num_groups=G,
+                          sliding_window=sliding_window,
                           soft_cap=soft_cap, packed=packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tpad, kvh, G_pad, d_k), q.dtype),
