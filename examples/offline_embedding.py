@@ -5,6 +5,16 @@
 
 import argparse
 
+import os
+import sys
+
+# Runnable as `python examples/<name>.py` without installing:
+# the package lives in the repo root (PYTHONPATH is avoided —
+# it breaks the axon TPU plugin registration on some hosts).
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
 import numpy as np
 
 from light_vllm_tpu import LLM
