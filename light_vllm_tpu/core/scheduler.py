@@ -39,15 +39,24 @@ class Scheduler(ABC):
         self.aborted_requests.update(ids & self.requests)
 
     def remove_abort_request(self) -> None:
-        """Drop aborted requests currently sitting in the waiting queue."""
+        """Drop aborted requests currently sitting in the waiting queue.
+
+        Ids NOT in the waiting queue (running / swapped / in-flight) must
+        SURVIVE in `aborted_requests` — subclass schedule() loops handle
+        those lazily (decoding/scheduler.py `_abort_group`). Clearing the
+        whole set here silently un-aborted any already-running request."""
         if not self.aborted_requests:
             return
-        kept = deque(r for r in self.waiting
-                     if r.request_id not in self.aborted_requests)
-        self.waiting = kept
-        self.requests -= self.aborted_requests
-        self.actual_abort(self.aborted_requests)
-        self.aborted_requests.clear()
+        waiting_ids = {r.request_id for r in self.waiting}
+        handled = self.aborted_requests & waiting_ids
+        if handled:
+            self.waiting = deque(r for r in self.waiting
+                                 if r.request_id not in handled)
+            self.requests -= handled
+            self.actual_abort(handled)
+            self.aborted_requests -= handled
+        # Drop stale ids whose request finished before the abort landed.
+        self.aborted_requests &= self.requests
 
     def actual_abort(self, request_ids: Set[str]) -> None:
         """Hook for subclasses to release per-request resources."""

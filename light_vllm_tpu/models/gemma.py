@@ -94,8 +94,7 @@ class GemmaDecoderLayer:
             backend=attn_backend, sliding_window=window,
             logits_soft_cap=soft_cap) if attn_backend is not None else None
         self.kv_scales = KVScales() \
-            if attn_backend is not None and attn_backend.needs_kv_scales \
-            else None
+            if getattr(attn_backend, "needs_kv_scales", False) else None
 
     def layer_tree(self):
         tree = {"qkv": self.qkv, "o": self.o, "gate_up": self.gate_up,

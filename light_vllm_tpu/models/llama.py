@@ -71,8 +71,9 @@ class LlamaDecoderLayer:
                 self.num_heads, self.head_dim, self.num_kv_heads,
                 scale=self.head_dim ** -0.5, backend=attn_backend,
                 sliding_window=getattr(cfg, "sliding_window", None))
-            self.kv_scales = KVScales() if attn_backend.needs_kv_scales \
-                else None
+            # embedder mode hands an encoder backend with no KV cache
+            self.kv_scales = KVScales() if getattr(
+                attn_backend, "needs_kv_scales", False) else None
         else:
             self.attn = None
             self.kv_scales = None

@@ -1,0 +1,45 @@
+"""Decoder-as-embedder e2e: `output_last_hidden_states=True` runs a causal
+LM on the prefill-only stack and returns normalized last-token hidden
+states (reference: light_vllm/decode_only/output_last_hidden_states/).
+Compares against HF Qwen2 hidden states; also covers the bidirectional
+(gte-Qwen2-style) flag executing end-to-end."""
+
+import numpy as np
+
+from tests.decoding.test_generate_e2e import (tiny_qwen2,  # noqa: F401
+                                              tiny_qwen2_config)
+
+
+def test_last_token_embedding_matches_hf(tiny_qwen2):  # noqa: F811
+    import torch
+
+    cfg, hf = tiny_qwen2
+    from light_vllm_tpu import LLM
+
+    llm = LLM(hf_config=tiny_qwen2_config(),
+              state_dict=hf.state_dict(), dtype="float32",
+              max_model_len=64, max_num_requests=4,
+              output_last_hidden_states=True)
+    prompts = [[5, 6, 7, 8, 9], list(range(40, 61))]
+    outs = llm.encode([{"prompt_token_ids": p} for p in prompts])
+    for p, o in zip(prompts, outs):
+        ids = torch.tensor([p])
+        with torch.no_grad():
+            ref = hf.model(input_ids=ids).last_hidden_state[0, -1].numpy()
+        ref = ref / np.linalg.norm(ref)
+        got = np.asarray(o.embedding, dtype=np.float32)
+        np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_bidirectional_flag_runs(tiny_qwen2):  # noqa: F811
+    cfg, hf = tiny_qwen2
+    from light_vllm_tpu import LLM
+
+    llm = LLM(hf_config=tiny_qwen2_config(),
+              state_dict=hf.state_dict(), dtype="float32",
+              max_model_len=64, max_num_requests=4,
+              output_last_hidden_states=True, enable_bidirectional=True)
+    outs = llm.encode([{"prompt_token_ids": [5, 6, 7, 8, 9]}])
+    vec = np.asarray(outs[0].embedding, dtype=np.float32)
+    assert vec.shape == (tiny_qwen2_config()["hidden_size"],)
+    assert abs(np.linalg.norm(vec) - 1.0) < 1e-5
