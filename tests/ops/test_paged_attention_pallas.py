@@ -54,6 +54,37 @@ def test_decode_kernel_matches_reference(h, kvh, d, page_size, rng):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_decode_kernel_fp8_cache(rng):
+    """fp8 KV pages (cache dtype != q dtype): the kernel upcasts operands
+    to bf16 for the dots — the path the Llama-3-8B fp8 bench runs."""
+    S, h, kvh, d, page_size = 4, 8, 2, 128, 16
+    num_blocks, max_pages = 32, 8
+    seq_lens = np.array([5, 30, 64, 100], dtype=np.int32)
+    q = (rng.standard_normal((S, h, d), dtype=np.float32)
+         ).astype(jnp.bfloat16)
+    kvf = rng.standard_normal((num_blocks * page_size, 2 * kvh, d),
+                              dtype=np.float32) * 0.25
+    kv8 = jnp.asarray(kvf, jnp.float8_e4m3fn)
+    block_tables = np.zeros((S, max_pages), dtype=np.int32)
+    nxt = 1
+    for s in range(S):
+        for i in range(-(-int(seq_lens[s]) // page_size)):
+            block_tables[s, i] = nxt
+            nxt += 1
+    scale = d ** -0.5
+    ref = ragged_paged_attention_ref(
+        q.astype(jnp.float32), kv8.astype(jnp.float32),
+        jnp.asarray(block_tables), jnp.asarray(seq_lens),
+        jnp.arange(S, dtype=jnp.int32), jnp.asarray(seq_lens - 1),
+        page_size, scale=scale)
+    out = paged_attention_decode(
+        q, kv8, jnp.asarray(block_tables), jnp.asarray(seq_lens),
+        page_size=page_size, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
 @pytest.mark.parametrize("h,kvh,d", [(4, 2, 64)])
 def test_prefill_kernel_matches_reference(h, kvh, d, rng):
     from light_vllm_tpu.ops.prefill_attention_pallas import (
