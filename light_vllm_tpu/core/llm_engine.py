@@ -18,6 +18,7 @@ import queue
 import time
 from typing import Any, Dict, Iterable, List, Optional, Union
 
+from light_vllm_tpu import envs
 from light_vllm_tpu.core.schema.engine_io import Params, PromptType
 from light_vllm_tpu.core.workflow import Workflow, lazy_import
 from light_vllm_tpu.logger import init_logger
@@ -77,6 +78,16 @@ class LLMEngine:
             self.step = self.async_step
         else:
             self.step = self.sync_step
+        # Deferred-output decode chaining (decoding workflow, async mode):
+        # pure-decode multi-step windows whose outputs no host decision
+        # depends on are NOT pythonized before the next window is
+        # dispatched — the worker chains the sampled tokens on device, so
+        # the inter-invocation d2h round trip leaves the decode critical
+        # path entirely. Windows queue here until values are needed.
+        self._deferred: List = []
+        self._drained_outputs: List = []
+        self._chain_sig = None
+        self._defer_count = 0  # windows deferred (stats/tests)
 
     # --- construction ------------------------------------------------------
     @classmethod
@@ -148,18 +159,28 @@ class LLMEngine:
         self.executor.ensure_start_execute_loop()
         self._put_as_many_as_possible()
         if self.num_on_the_fly == 0:
-            return []
+            return self._pop_drained()
         tag, item = self.executor_out.get(block=True)
         self.num_on_the_fly -= 1
         if isinstance(item, Exception):
             raise item
         scheduler_output = tag
+        if self._defer_eligible(scheduler_output, item):
+            starts = self.output_processor.advance_placeholders(
+                scheduler_output, scheduler_output.multi_step)
+            self.scheduler.free_finished_request(scheduler_output)
+            self._deferred.append((scheduler_output, item, starts))
+            self._defer_count += 1
+            self._on_step_done(scheduler_output, [])
+            self._put_as_many_as_possible()
+            return self._pop_drained()
+        prior = self._drain_deferred()
         request_outputs = self.output_processor(scheduler_output, item)
         self.scheduler.free_finished_request(scheduler_output)
         self._on_step_done(scheduler_output, request_outputs)
         # Refill the window with what just became schedulable.
         self._put_as_many_as_possible()
-        return request_outputs
+        return self._pop_drained() + prior + request_outputs
 
     def _on_step_done(self, scheduler_output, request_outputs) -> None:
         if self.stats_logger is not None:
@@ -174,9 +195,81 @@ class LLMEngine:
             scheduler_output = self.scheduler.schedule()
             if scheduler_output.is_empty():
                 break
+            sig = self._window_sig(scheduler_output)
+            chain = sig is not None and sig == self._chain_sig
+            if self._deferred and not chain:
+                # The next batch is not a chained continuation: its input
+                # blob needs real token ids — resolve placeholders first.
+                self._drained_outputs.extend(self._drain_deferred())
             execute_input = self.model_inputs_builder(scheduler_output)
+            if chain:
+                execute_input.model_input.chain_tokens = True
+                execute_input.model_input.chain_key = sig
+            elif sig is not None:
+                # First window of a potential chain: record its key for
+                # the worker's ring cache.
+                execute_input.model_input.chain_key = sig
+            self._chain_sig = sig
             self.executor_in.put((scheduler_output, execute_input))
             self.num_on_the_fly += 1
+
+    # --- deferred-output helpers ------------------------------------------
+    def _pop_drained(self) -> List:
+        outs, self._drained_outputs = self._drained_outputs, []
+        return outs
+
+    def _window_sig(self, scheduler_output):
+        """Row-assignment signature of a pure-decode multi-step window
+        (None = not chainable)."""
+        if getattr(scheduler_output, "multi_step", 1) <= 1:
+            return None
+        metas = getattr(scheduler_output, "seq_group_metadata_list", None)
+        if not metas or any(m.is_prompt for m in metas):
+            return None
+        return tuple((m.request_id, tuple(m.seq_data)) for m in metas)
+
+    def _defer_eligible(self, scheduler_output, execute_output) -> bool:
+        if not self.use_async_scheduling or not envs.LVT_DEFER_OUTPUTS:
+            return False
+        if getattr(self.engine_config.cache_config, "enable_prefix_caching",
+                   False):
+            return False  # block hashes need real token ids
+        K = getattr(scheduler_output, "multi_step", 1)
+        if K <= 1 or self._window_sig(scheduler_output) is None:
+            return False
+        ring = getattr(execute_output, "next_tokens", None)
+        if ring is None or getattr(ring, "ndim", 0) != 3:
+            return False
+        if not hasattr(self.output_processor, "advance_placeholders"):
+            return False
+        max_len = self.engine_config.model_config.max_model_len
+        for meta in scheduler_output.seq_group_metadata_list:
+            sp = meta.sampling_params
+            if (not sp.ignore_eos or sp.stop or sp.stop_token_ids
+                    or sp.logprobs or sp.prompt_logprobs
+                    or sp.logits_processors or sp.detokenize
+                    or sp.n != 1 or sp.min_tokens
+                    or sp.presence_penalty or sp.frequency_penalty
+                    or sp.repetition_penalty != 1.0
+                    or sp.max_tokens is None):
+                return False
+            for sd in meta.seq_data.values():
+                # no sequence may finish inside the deferred window
+                if sd.get_output_len() + K >= sp.max_tokens:
+                    return False
+                if sd.get_len() + K >= max_len:
+                    return False
+        return True
+
+    def _drain_deferred(self) -> List:
+        if not self._deferred:
+            return []
+        outs: List = []
+        for (so, eo, starts) in self._deferred:
+            outs.extend(self.output_processor.backfill_deferred(
+                so, eo, starts))
+        self._deferred.clear()
+        return outs
 
     def shutdown(self) -> None:
         if getattr(self, "profiler_hook", None) is not None:

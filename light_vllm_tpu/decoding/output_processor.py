@@ -157,6 +157,57 @@ class DecodingOutputProcessor(OutputProcessor):
             outputs.append(self._to_request_output(g))
         return outputs
 
+    # --- deferred-output (device-chained decode) path ----------------------
+    def advance_placeholders(self, scheduler_output, K: int):
+        """Advance every sequence of a deferred multi-step window by K
+        PLACEHOLDER tokens so the scheduler can dispatch the next chained
+        window without waiting for the device readback. Token values are
+        backfilled later (backfill_deferred); the engine only defers
+        windows whose host decisions are value-independent (ignore_eos,
+        no stops/logprobs/penalties/detokenize, no finishes in-window,
+        prefix caching off).
+
+        Returns the per-seq output offsets the backfill writes into."""
+        starts = {}
+        for sched, meta, slots, chunks in zip(
+                scheduler_output.scheduled_seq_groups,
+                scheduler_output.seq_group_metadata_list,
+                scheduler_output.sample_slots,
+                scheduler_output.sample_chunks):
+            g = sched.seq_group
+            for seq_id, slot, chunk in zip(meta.seq_data, slots, chunks):
+                seq = g.seqs_dict[seq_id]
+                starts[seq_id] = seq.get_output_len()
+                for t in range(K):
+                    seq.data.update_num_computed_tokens(
+                        chunk if t == 0 else 1)
+                    g.metrics.on_token()
+                    seq.append_token_id(0, 0.0)
+        return starts
+
+    def backfill_deferred(self, scheduler_output, execute_output, starts):
+        """Resolve a deferred window: overwrite its placeholder ids with
+        the real device-sampled tokens and emit the request outputs."""
+        raw = np.asarray(execute_output.next_tokens)  # [K, 2, S]
+        K = raw.shape[0]
+        outputs = []
+        for sched, meta, slots, chunks in zip(
+                scheduler_output.scheduled_seq_groups,
+                scheduler_output.seq_group_metadata_list,
+                scheduler_output.sample_slots,
+                scheduler_output.sample_chunks):
+            g = sched.seq_group
+            for seq_id, slot, chunk in zip(meta.seq_data, slots, chunks):
+                seq = g.seqs_dict[seq_id]
+                start = starts[seq_id]
+                for t in range(K):
+                    seq.data.output_token_ids[start + t] = \
+                        int(raw[t, 0, slot])
+                    seq.data.cumulative_logprob += float(
+                        raw[t, 1, slot].view(np.float32))
+            outputs.append(self._to_request_output(g))
+        return outputs
+
     def _process_prompt_logprobs(self, g, meta, chunk: int, start: int,
                                  execute_output) -> None:
         """Accumulate this prefill chunk's prompt logprobs onto the group.

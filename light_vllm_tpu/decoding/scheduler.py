@@ -261,6 +261,27 @@ class DecodingScheduler(Scheduler):
         return (self.artificial_preempt
                 and random.random() < ARTIFICIAL_PREEMPTION_PROB)
 
+    def _pop_nonbusy_victim(self) -> Optional[SequenceGroup]:
+        """Lowest-priority NON-busy running group, or None.
+
+        Async mode keeps in-flight groups in `running` with busy set;
+        preempting one would reset/free its state while its batch is still
+        executing on device — the late output would then corrupt the
+        recomputed sequence (observed as early-token divergence under
+        artificial preemption + async scheduling)."""
+        skipped = []
+        victim = None
+        while self.running:
+            g = self.running.pop()
+            if g.busy:
+                skipped.append(g)
+            else:
+                victim = g
+                break
+        while skipped:
+            self.running.append(skipped.pop())
+        return victim
+
     # ---------------------------------------------------- running schedule
     def _schedule_running(self, budget: DecodingSchedulingBudget,
                           out: DecodingSchedulerOutput,
@@ -305,8 +326,8 @@ class DecodingScheduler(Scheduler):
             can_append = (not self._artificial_preempt_hit()
                           and self.block_manager.can_append_slots(seq_group))
             while not can_append:
-                if self.running:
-                    victim = self.running.pop()  # lowest priority first
+                victim = self._pop_nonbusy_victim()
+                if victim is not None:
                     self._preempt(victim, out.blocks_to_swap_out)
                     out.preempted += 1
                 else:

@@ -356,6 +356,14 @@ class DecodingModelInput(ModelInput):
     use_topkp: bool = False
     all_greedy: bool = False
     multi_step: int = 1              # K chained decode iterations
+    # Deferred-output decode chaining: when set, the worker replaces the
+    # blob's input-token row [0:S] with the previous multi-step
+    # invocation's last device-side sampled tokens (the blob carries
+    # host placeholders). chain_key identifies the (row -> sequence)
+    # assignment; the engine only sets chain_tokens when it matches the
+    # previously dispatched window.
+    chain_tokens: bool = False
+    chain_key: Optional[Tuple] = None
 
 
 @dataclass

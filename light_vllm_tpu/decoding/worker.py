@@ -183,6 +183,9 @@ class DecodingModelRunner:
         self.page_size = page_size
         self.params = None
         self._step_cache: Dict[Any, Any] = {}
+        # (chain_key, last sampled tokens [S] device array) of the most
+        # recent multi-step invocation — deferred-output chaining source.
+        self._ms_chain = None
 
     def prepare(self, params) -> None:
         self.params = params
@@ -406,11 +409,24 @@ class DecodingModelRunner:
                     model_input.use_topkp, model_input.S, model_input.P, K,
                     self.page_size, model_input.NT, model_input.max_out,
                     model_input.all_greedy)
+            blob = model_input.blob
+            if model_input.chain_tokens:
+                # Deferred-output chaining: the blob's input-token row
+                # holds host placeholders; splice in the previous
+                # invocation's last sampled tokens ON DEVICE (XLA dataflow
+                # orders this after the prior ring — no host sync).
+                assert self._ms_chain is not None \
+                    and self._ms_chain[0] == model_input.chain_key, \
+                    "chain_tokens set but no matching ring cached"
+                blob = jnp.asarray(blob).at[:model_input.S].set(
+                    self._ms_chain[1])
             ring, kv_caches = self._step_cache[mkey](
-                self.params, kv_caches, model_input.blob)
+                self.params, kv_caches, blob)
+            self._ms_chain = (model_input.chain_key, ring[K - 1, 0])
             return DecodingExecuteOutput(next_tokens=ring), kv_caches
 
         self._last_model_input = model_input  # test/introspection hook
+        self._ms_chain = None  # any non-chained step breaks the chain
         key = (model_input.use_penalties, model_input.use_topkp,
                model_input.num_logprobs,
                model_input.has_prompt_tokens,

@@ -61,6 +61,12 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # partitionable); "1"/"0" force.
     "LVT_INDEXED_PARAMS": lambda: os.environ.get("LVT_INDEXED_PARAMS",
                                                  "auto"),
+    # Deferred-output decode chaining (async mode): pure-decode multi-step
+    # windows whose outputs no host decision depends on are pythonized
+    # lazily; the worker splices the previous window's device-side tokens
+    # into the next blob, so decode never waits on a d2h round trip.
+    "LVT_DEFER_OUTPUTS": lambda: bool(
+        int(os.environ.get("LVT_DEFER_OUTPUTS", "1"))),
     # Step-level stats logging interval in seconds (0 disables).
     "LVT_LOG_STATS_INTERVAL": lambda: float(
         os.environ.get("LVT_LOG_STATS_INTERVAL", "10")),
