@@ -173,6 +173,11 @@ class LLMEngine:
             self._defer_count += 1
             self._on_step_done(scheduler_output, [])
             self._put_as_many_as_possible()
+            if len(self._deferred) >= envs.LVT_DEFER_MAX_WINDOWS:
+                # Bound stream latency: with the next window already
+                # dispatched, draining old rings costs ~nothing (their
+                # readbacks started at their dispatch).
+                self._drained_outputs.extend(self._drain_deferred())
             return self._pop_drained()
         prior = self._drain_deferred()
         request_outputs = self.output_processor(scheduler_output, item)

@@ -67,6 +67,11 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # into the next blob, so decode never waits on a d2h round trip.
     "LVT_DEFER_OUTPUTS": lambda: bool(
         int(os.environ.get("LVT_DEFER_OUTPUTS", "1"))),
+    # Max consecutive deferred windows before a drain (bounds streaming
+    # latency; old rings' readbacks started at dispatch, so periodic
+    # drains are nearly free).
+    "LVT_DEFER_MAX_WINDOWS": lambda: int(
+        os.environ.get("LVT_DEFER_MAX_WINDOWS", "8")),
     # Step-level stats logging interval in seconds (0 disables).
     "LVT_LOG_STATS_INTERVAL": lambda: float(
         os.environ.get("LVT_LOG_STATS_INTERVAL", "10")),
