@@ -75,17 +75,42 @@ class FusedMoE(Layer):
 
     def __call__(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """x [T, H] → [T, H]."""
+        from light_vllm_tpu.layers.base import StackedKernelRef
+
         T, H = x.shape
         E, k = self.num_experts, self.top_k
         router_logits = jnp.dot(x, params["router"],
                                 preferred_element_type=jnp.float32)
         weights, ids = topk_softmax(router_logits, k, self.renormalize)
 
+        w13, w2 = params["w13"], params["w2"]
+        stacked = isinstance(w13, StackedKernelRef)
+        if stacked and self._use_grouped(T):
+            # scan-over-layers: the stacked grouped kernel indexes the
+            # [L, E, ...] expert stacks in place (no per-layer slice).
+            from light_vllm_tpu.ops.grouped_matmul import moe_sorted_compute
+            from light_vllm_tpu.platforms import current_platform
+            return moe_sorted_compute(
+                x, w13.stack, w2.stack, weights, ids, top_k=k,
+                layer_idx=w13.layer_idx,
+                interpret=not current_platform().is_tpu)
+        if stacked:
+            # masked-dense fallback needs materialized slices
+            w13 = jax.lax.dynamic_index_in_dim(w13.stack, w13.layer_idx,
+                                               0, keepdims=False)
+            w2 = jax.lax.dynamic_index_in_dim(params["w2"].stack,
+                                              params["w2"].layer_idx,
+                                              0, keepdims=False)
+        params = dict(params, w13=w13, w2=w2)
+
         if self._use_grouped(T):
             from light_vllm_tpu.ops.grouped_matmul import moe_sorted_compute
+            from light_vllm_tpu.platforms import current_platform
             return moe_sorted_compute(x, params["w13"], params["w2"],
                                       weights, ids, top_k=k,
-                                      use_pallas=True)
+                                      use_pallas=True,
+                                      interpret=not current_platform(
+                                      ).is_tpu)
 
         # sparse [T, E] combine matrix
         combine = jnp.zeros((T, E), jnp.float32)

@@ -53,22 +53,28 @@ def _indexed_enabled() -> bool:
 
 
 def _is_stacked_kernel(path, leaf) -> bool:
-    """Float and fp8 [L, K, N] linear kernels — int8/int4 formats have
-    their own apply() without a StackedKernelRef branch and keep the
-    slice path."""
-    if not hasattr(leaf, "ndim") or leaf.ndim != 3:
+    """Float/fp8 [L, K, N] linear kernels and [L, E, K, N] MoE expert
+    stacks — int8/int4 formats have their own apply() without a
+    StackedKernelRef branch and keep the slice path."""
+    if not hasattr(leaf, "ndim"):
         return False
     if leaf.dtype not in (jnp.bfloat16, jnp.float16, jnp.float32,
                           jnp.float8_e4m3fn):
         return False
     last = path[-1]
     key = getattr(last, "key", None) or getattr(last, "name", None)
-    if key != "kernel":
-        return False
-    from light_vllm_tpu.ops.stacked_matmul_pallas import \
-        stacked_matmul_supported
+    if key == "kernel" and leaf.ndim == 3:
+        from light_vllm_tpu.ops.stacked_matmul_pallas import \
+            stacked_matmul_supported
 
-    return stacked_matmul_supported(leaf.shape[1], leaf.shape[2])
+        return stacked_matmul_supported(leaf.shape[1], leaf.shape[2])
+    if key in ("w13", "w2") and leaf.ndim == 4 \
+            and leaf.dtype != jnp.float8_e4m3fn:
+        from light_vllm_tpu.ops.grouped_matmul import \
+            stacked_grouped_supported
+
+        return stacked_grouped_supported(leaf.shape[2], leaf.shape[3])
+    return False
 
 
 def _unroll(steps: int) -> int:
