@@ -40,6 +40,53 @@ def stacked_matmul_supported(K: int, N: int) -> bool:
         _pick_tile(N, 1024, 256) is not None
 
 
+# Mosaic's scoped-VMEM stack limit is 16 MiB by default; tile working sets
+# must stay under it (double-buffered input tiles + accumulator + the
+# dequant intermediate all land there). Budget conservatively — the
+# compiler's accounting includes retiling copies we can't see from here.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _scoped_bytes(mt, kt, nt, x_bytes, w_bytes, o_bytes, quantized):
+    """Scoped-VMEM estimate, calibrated against Mosaic's accounting (the
+    observed 8B fp8 failure: kt=2048 nt=1024 mt=512 → 27.8M actual vs 22M
+    by this formula; the 10M budget leaves that ~1.3x slack)."""
+    b = (2 * mt * kt * x_bytes        # x tile, double-buffered
+         + 2 * kt * nt * w_bytes      # w tile, double-buffered
+         + 2 * mt * nt * 4            # f32 accumulator + dot output
+         + 2 * mt * nt * o_bytes)     # out tile
+    if quantized:
+        b += 2 * kt * nt * 2          # bf16 dequant intermediate + operand copy
+    return b
+
+
+def _pick_tiles(M, K, N, x_bytes, w_bytes, o_bytes, quantized):
+    """(mt, kt, nt) divisor tiles whose working set fits scoped VMEM.
+
+    Starts from MXU-friendly maxima (kt 2048, nt 1024, mt 512) and shrinks
+    the larger of kt/nt (then mt) until under budget — small models keep
+    the big tiles, 8B-class dims (K=4096, N=6144/28672) step down
+    automatically instead of failing to compile (kernel-vmem-stack OOM)."""
+    kt = _pick_tile(K, 2048, 256)
+    nt = _pick_tile(N, 1024, 256)
+    assert kt is not None and nt is not None, \
+        f"stacked matmul needs tileable dims, got K={K} N={N}"
+    mt = min(max(M, 128), 512)
+    while _scoped_bytes(mt, kt, nt, x_bytes, w_bytes, o_bytes,
+                        quantized) > _VMEM_BUDGET:
+        kt2 = _pick_tile(K, kt // 2, 256) if kt > 256 else None
+        nt2 = _pick_tile(N, nt // 2, 256) if nt > 256 else None
+        if kt2 is not None and (kt >= nt or nt2 is None):
+            kt = kt2
+        elif nt2 is not None:
+            nt = nt2
+        elif mt > 128:
+            mt //= 2
+        else:
+            break  # minimal tiles; let the compiler have the final word
+    return mt, kt, nt
+
+
 def _mm_kernel(l_ref, x_ref, w_ref, o_ref, acc_ref, *, nk: int):
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -66,11 +113,9 @@ def stacked_matmul(
     M, K = x.shape
     L, K2, N = w_stack.shape
     assert K == K2, (x.shape, w_stack.shape)
-    kt = _pick_tile(K, 2048, 256)
-    nt = _pick_tile(N, 1024, 256)
-    assert kt is not None and nt is not None, \
-        f"stacked_matmul needs tileable dims, got K={K} N={N}"
-    mt = min(max(M, 128), 512)
+    mt, kt, nt = _pick_tiles(M, K, N, x.dtype.itemsize,
+                             w_stack.dtype.itemsize, x.dtype.itemsize,
+                             quantized=False)
     M_pad = cdiv(M, mt) * mt
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
@@ -132,11 +177,9 @@ def stacked_quantized_matmul(
     L, K2, N = w_stack.shape
     assert K == K2 and scale.shape == (N,), (x.shape, w_stack.shape,
                                              scale.shape)
-    kt = _pick_tile(K, 2048, 256)
-    nt = _pick_tile(N, 1024, 256)
-    assert kt is not None and nt is not None, \
-        f"stacked_quantized_matmul needs tileable dims, got K={K} N={N}"
-    mt = min(max(M, 128), 512)
+    mt, kt, nt = _pick_tiles(M, K, N, x.dtype.itemsize,
+                             w_stack.dtype.itemsize, x.dtype.itemsize,
+                             quantized=True)
     M_pad = cdiv(M, mt) * mt
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
