@@ -165,24 +165,18 @@ def _decode_kernel(
         wait_fetch(chunk, slot)
 
         # ---- scores: one static-addressed dot per (b, kv-head) ----
-        # Operands stay in the cache dtype (bf16 on TPU) with f32
-        # accumulation — flash-kernel practice; the f32 upconverts were
-        # measurable VPU traffic at serving batch sizes.
-        compute_dt = jnp.bfloat16 if jnp.dtype(kv_buf.dtype).itemsize <= 2 \
-            else kv_buf.dtype
         for b in range(B):
             # [ppf, page_size*rows, d] -> [R, rows, d] (leading reshape)
             kv3 = kv_buf[slot, b].reshape(R, rows, d)
             for j in range(kvh):
-                q = q_ref[b, j]                              # [G, d]
+                q = q_ref[b, j].astype(jnp.float32) * scale  # [G, d]
                 k = kv3[:, j if packed else 2 * j, :]        # [R, d]
                 scores_ref[b, j] = jax.lax.dot_general(
-                    q.astype(compute_dt), k.astype(compute_dt),
-                    (((1,), (1,)), ((), ())),
+                    q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)      # [G, R]
 
         # ---- masking + online softmax, batched over [B, kvh, G, R] ----
-        scores = scores_ref[...] * scale
+        scores = scores_ref[...]
         if soft_cap is not None:
             scores = soft_cap * jnp.tanh(scores / soft_cap)
         base = (start_page_vec + chunk * pages_per_fetch) * page_size
@@ -210,8 +204,8 @@ def _decode_kernel(
             for j in range(kvh):
                 v = kv3[:, j if packed else 2 * j + 1, :]    # [R, d]
                 acc_ref[b, j] += jax.lax.dot_general(
-                    scores_ref[b, j].astype(compute_dt),
-                    v.astype(compute_dt), (((1,), (0,)), ((), ())),
+                    scores_ref[b, j], v.astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         return 0
 
