@@ -65,8 +65,12 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # windows whose outputs no host decision depends on are pythonized
     # lazily; the worker splices the previous window's device-side tokens
     # into the next blob, so decode never waits on a d2h round trip.
+    # Default off: on the short-generation serving bench (16 out tokens,
+    # 2 windows) the dispatch-time blob splice costs more than the one
+    # readback it saves (27.0k vs 26.0k tok/s measured); enable for
+    # long-generation decode-bound workloads.
     "LVT_DEFER_OUTPUTS": lambda: bool(
-        int(os.environ.get("LVT_DEFER_OUTPUTS", "1"))),
+        int(os.environ.get("LVT_DEFER_OUTPUTS", "0"))),
     # Max consecutive deferred windows before a drain (bounds streaming
     # latency; old rings' readbacks started at dispatch, so periodic
     # drains are nearly free).
