@@ -42,6 +42,12 @@ class DecodeAttnMetadata:
     tile_seq: Any = None    # [NT] i32
     tile_qstart: Any = None  # [NT] i32
     num_seqs: Any = None    # [] i32
+    # KV write plan for the in-place Pallas cache writer (see
+    # ops/kv_write_pallas.py): (counts [2], pages [2, NP], rows [2, NR]).
+    # None → backends fall back to the jnp scatter.
+    write_counts: Any = None
+    write_pages: Any = None
+    write_rows: Any = None
     # static:
     num_decode_tokens: int = 0
     decode_region: int = 0
@@ -95,9 +101,9 @@ class PagedAttnBackend:
             jnp.dtype(self.cache_dtype).itemsize == 1
 
     # --- ops ------------------------------------------------------------------
-    def write_kv(self, kv_pages, k, v, slot_mapping, layer_idx=None,
-                 k_scale=None, v_scale=None):
-        return write_kv_to_pages(kv_pages, k, v, slot_mapping,
+    def write_kv(self, kv_pages, k, v, meta: DecodeAttnMetadata,
+                 layer_idx=None, k_scale=None, v_scale=None):
+        return write_kv_to_pages(kv_pages, k, v, meta.slot_mapping,
                                  k_scale=k_scale, v_scale=v_scale,
                                  layer_idx=layer_idx)
 
@@ -127,6 +133,32 @@ class PallasPagedAttnBackend(PagedAttnBackend):
         super().__init__(*args, **kwargs)
         # Interpret mode runs the kernels as jax ops — CPU-mesh tests.
         self.interpret = not current_platform().is_tpu
+
+    def write_kv(self, kv_pages, k, v, meta: DecodeAttnMetadata,
+                 layer_idx=None, k_scale=None, v_scale=None):
+        """In-place DMA cache writer: the jnp (layer, slot) scatter lowers
+        to full-cache rewrite fusions under scan-over-layers (~12 ms per
+        layer group on a 10 GB cache); the Pallas kernel moves only the
+        written rows (ops/kv_write_pallas.py)."""
+        if meta.write_counts is None:
+            return super().write_kv(kv_pages, k, v, meta,
+                                    layer_idx=layer_idx,
+                                    k_scale=k_scale, v_scale=v_scale)
+        from light_vllm_tpu.ops.kv_write_pallas import write_kv_pages_inplace
+
+        cache_dtype = kv_pages.dtype
+        if cache_dtype != k.dtype:
+            if k_scale is not None:
+                k = k / k_scale
+                v = v / v_scale
+            k = k.astype(cache_dtype)
+            v = v.astype(cache_dtype)
+        T, kvh, d = k.shape
+        kv = jnp.stack([k, v], axis=2).reshape(T, 2 * kvh, d)
+        return write_kv_pages_inplace(
+            kv_pages, kv, meta.write_counts, meta.write_pages,
+            meta.write_rows, layer_idx, page_size=self.block_size,
+            interpret=self.interpret)
 
     def attention(self, q, kv_pages, meta: DecodeAttnMetadata, *,
                   scale: float, sliding_window: Optional[int] = None,
@@ -251,8 +283,7 @@ class Attention:
             out, kv_cache = self._sharded_call(qh, kh, vh, kv_cache, meta,
                                                mesh, layer_idx, k_s, v_s)
         else:
-            kv_cache = self.backend.write_kv(kv_cache, kh, vh,
-                                             meta.slot_mapping,
+            kv_cache = self.backend.write_kv(kv_cache, kh, vh, meta,
                                              layer_idx=layer_idx,
                                              k_scale=k_s, v_scale=v_s)
             out = self.backend.attention(
@@ -309,8 +340,8 @@ class Attention:
             else:
                 l = None
             m = dataclasses.replace(meta, **dict(zip(arr_fields, arrs)))
-            kv_cache = self.backend.write_kv(kv_cache, kh, vh,
-                                             m.slot_mapping, layer_idx=l,
+            kv_cache = self.backend.write_kv(kv_cache, kh, vh, m,
+                                             layer_idx=l,
                                              k_scale=ks, v_scale=vs)
             out = self.backend.attention(
                 qh, kv_cache, m, scale=self.scale,

@@ -96,10 +96,12 @@ def static_prefill_token_bucket(max_num_batched_tokens: int,
 
 def blob_len(T: int, S: int, NT: int, P: int, max_out: int,
              prompt_len: int = 0, ban_len: int = 0, has_plp: bool = False,
-             lp_width: int = 0) -> int:
+             lp_width: int = 0, block_size: int = 16) -> int:
     """Total i32 length of the packed step blob (must mirror the
     `parts` concatenation in DecodingModelInputBuilder.__call__)."""
     n = 4 * T + 8 * S + 6 * S + 2 * NT + S * P + S * max_out
+    # KV write plan: counts [2] + pages [2, NP] + rows [2, T]
+    n += 2 + 2 * max(T // block_size, 1) + 2 * T
     n += S * prompt_len + S * ban_len + (T if has_plp else 0) + lp_width
     return n
 
@@ -294,6 +296,44 @@ class DecodingModelInputBuilder(ModelInputBuilder):
                 seq_ids[sl] = s
                 slot_arr[sl] = bt[pos // bs] * bs + pos % bs
 
+        # KV write plan (ops/kv_write_pallas.py): full-page DMA runs for
+        # aligned prefill pages, single-row DMAs for decode tokens and
+        # chunk-boundary partials. Padded rows are simply not written (the
+        # jnp scatter needed the trash page; DMAs don't).
+        NP = max(T // bs, 1)
+        w_counts = np.zeros(2, dtype=np.int32)
+        w_pages = np.zeros((2, NP), dtype=np.int32)
+        w_rows = np.zeros((2, T), dtype=np.int32)
+        np_c = nr_c = 0
+        if D_real:
+            w_rows[0, :D_real] = slot_arr[:D_real]
+            w_rows[1, :D_real] = np.arange(D_real, dtype=np.int32)
+            nr_c = D_real
+        for row in prefill_rows:
+            q = row["query_len"]
+            if not q:
+                continue
+            start, ctx = row["chunk_start"], row["ctx_len"]
+            p0 = -(-ctx // bs) * bs        # first aligned page start ≥ ctx
+            p1 = ((ctx + q) // bs) * bs    # end of the last full page
+            if p1 > p0:
+                rr = start + np.arange(p0 - ctx, p1 - ctx, bs)
+                n = len(rr)
+                w_pages[0, np_c:np_c + n] = slot_arr[rr]
+                w_pages[1, np_c:np_c + n] = rr
+                np_c += n
+                edges = ((0, p0 - ctx), (p1 - ctx, q))
+            else:
+                edges = ((0, q),)
+            for a, b in edges:
+                if b > a:
+                    rr = start + np.arange(a, b)
+                    n = b - a
+                    w_rows[0, nr_c:nr_c + n] = slot_arr[rr]
+                    w_rows[1, nr_c:nr_c + n] = rr
+                    nr_c += n
+        w_counts[0], w_counts[1] = np_c, nr_c
+
         # Pad tokens default seq_ids to slot S-1. If that slot is real the
         # reference impl computes (ignored) extra rows — harmless: pad KV
         # writes go to the null page and pad outputs are never gathered.
@@ -372,7 +412,8 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         # *latency*, not bandwidth, dominates these small buffers).
         parts = [tok_i32.ravel(), seq_i32.ravel(),
                  seq_f32.astype(np.float32).view(np.int32).ravel(),
-                 tiles.ravel(), block_tables.ravel(), out_tokens.ravel()]
+                 tiles.ravel(), block_tables.ravel(), out_tokens.ravel(),
+                 w_counts, w_pages.ravel(), w_rows.ravel()]
         if prompt_tokens is not None:
             parts.append(prompt_tokens.ravel())
         if ban_tokens is not None:
@@ -497,7 +538,8 @@ class DecodingModelInputBuilder(ModelInputBuilder):
 def static_precompile_specs(max_num_seqs: int, max_num_batched_tokens: int,
                             enable_chunked_prefill: bool, max_pages: int,
                             num_scheduler_steps: int = 1,
-                            greedy_only: bool = False):
+                            greedy_only: bool = False,
+                            block_size: int = 16):
     """Enumerate the executable set static-shape mode can reach on the
     common (no penalties / no logprobs / no prompt_logprobs) path, for AOT
     precompilation at engine init.
@@ -530,20 +572,24 @@ def static_precompile_specs(max_num_seqs: int, max_num_batched_tokens: int,
 
         # pure prefill
         specs.append((step_key(0, 1, T_pre, S_pre, max(T_pre // TQ, 1)),
-                      blob_len(T_pre, S_pre, max(T_pre // TQ, 1), P, 1)))
+                      blob_len(T_pre, S_pre, max(T_pre // TQ, 1), P, 1,
+                               block_size=block_size)))
         if enable_chunked_prefill:
             # mixed decode+prefill (only chunked scheduling emits these)
             specs.append(
                 (step_key(dr_mix, 1, max(T_pre, dr_mix), S_mix,
                           max(max(T_pre, dr_mix) // TQ, 1)),
                  blob_len(max(T_pre, dr_mix), S_mix,
-                          max(max(T_pre, dr_mix) // TQ, 1), P, 1)))
+                          max(max(T_pre, dr_mix) // TQ, 1), P, 1,
+                          block_size=block_size)))
         # pure decode, single step
         specs.append((step_key(S_dec, 0, S_dec, S_dec, 1),
-                      blob_len(S_dec, S_dec, 1, P, 1)))
+                      blob_len(S_dec, S_dec, 1, P, 1,
+                               block_size=block_size)))
         if num_scheduler_steps > 1:
             # multi-step key order mirrors DecodingModelRunner.execute
             specs.append((("ms", topkp, S_dec, P, num_scheduler_steps, 1, 1,
                            greedy),
-                          blob_len(S_dec, S_dec, 1, P, 1)))
+                          blob_len(S_dec, S_dec, 1, P, 1,
+                                   block_size=block_size)))
     return specs

@@ -217,6 +217,10 @@ class DecodingModelRunner:
             tiles = take(2 * NT, (2, NT))
             block_tables = take(S * P, (S, P))
             output_tokens = take(S * max_out, (S, max_out))
+            NP = max(T // self.page_size, 1)
+            w_counts = take(2, (2,))
+            w_pages = take(2 * NP, (2, NP))
+            w_rows = take(2 * T, (2, T))
             prompt_tokens = take(S * prompt_len, (S, prompt_len)) \
                 if has_prompt_tokens else None
             ban_tokens = take(S * ban_len, (S, ban_len)) \
@@ -243,7 +247,9 @@ class DecodingModelRunner:
                 tile_qstart=tiles[1],
                 num_decode_tokens=decode_region,
                 decode_region=decode_region,
-                num_prefill_seqs=num_prefill_seqs)
+                num_prefill_seqs=num_prefill_seqs,
+                write_counts=w_counts, write_pages=w_pages,
+                write_rows=w_rows)
             hidden, kv_caches = model(params, input_ids, positions,
                                       kv_caches, meta)
             logits = model.compute_logits(params, hidden, logits_indices)
@@ -323,7 +329,11 @@ class DecodingModelRunner:
                     slot_mapping=slot_mapping, block_tables=block_tables,
                     seq_lens=seq_lens, seq_ids=rows, positions=positions,
                     num_decode_tokens=S, decode_region=S,
-                    num_prefill_seqs=0)
+                    num_prefill_seqs=0,
+                    # traced write plan: every row is a single-token DMA
+                    write_counts=jnp.asarray([0, S], jnp.int32),
+                    write_pages=jnp.zeros((2, 1), jnp.int32),
+                    write_rows=jnp.stack([slot_mapping, rows]))
                 hidden, kv_caches = model(params, tokens, positions,
                                           kv_caches, meta)
                 logits = model.compute_logits(params, hidden, rows)
@@ -591,7 +601,7 @@ class DecodingWorker(WorkerBase):
             sc.enable_chunked_prefill,
             cdiv(mc.max_model_len, cc.block_size),
             num_scheduler_steps=getattr(sc, "num_scheduler_steps", 1),
-            greedy_only=(mode == "greedy"))
+            greedy_only=(mode == "greedy"), block_size=cc.block_size)
         self.runner.precompile(specs, self.cache_engine.kv_caches)
 
     def pre_transfer(self, execute_input: ExecuteInput) -> ExecuteInput:

@@ -135,4 +135,4 @@ def test_blob_len_matches_builder():
     mi = ei.model_input
     assert mi.blob.shape[0] == blob_len(
         mi.T, mi.S, mi.NT, mi.P, mi.max_out, mi.prompt_len, mi.ban_len,
-        mi.has_plp, mi.lp_width)
+        mi.has_plp, mi.lp_width, block_size=builder.block_size)
