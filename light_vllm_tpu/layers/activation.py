@@ -78,3 +78,11 @@ def get_gated_act_fn(name: str):
     if name not in _GATED_ACTIVATIONS:
         raise ValueError(f"unknown gated activation {name!r}")
     return _GATED_ACTIVATIONS[name]
+
+
+def gated_act_kernel_name(fn) -> str:
+    """Canonical epilogue name a gated-act fn maps to inside the fused
+    stacked gate_up kernel (ops/stacked_matmul_pallas._GATED_EPILOGUES),
+    or None when no fused epilogue exists."""
+    return {silu_and_mul: "silu", gelu_and_mul: "gelu",
+            gelu_tanh_and_mul: "gelu_tanh"}.get(fn)

@@ -149,6 +149,39 @@ class MergedColumnParallelLinear(ColumnParallelLinear):
         return int(sum(self.output_sizes[:idx]))
 
 
+def gated_mlp_act(act_fn, gate_up: "MergedColumnParallelLinear",
+                  params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """act(gate) * up for a merged gate_up projection — via the fused
+    stacked gate_up kernel when the weights are layer-stacked (saves the
+    [T, 2I] activation round trip to HBM: ~0.16 ms/layer of
+    slice_multiply fusions at T=2048, I=8960), else the plain matmul +
+    gated activation."""
+    from light_vllm_tpu.layers.activation import gated_act_kernel_name
+    from light_vllm_tpu.layers.base import StackedKernelRef
+
+    act = gated_act_kernel_name(act_fn)
+    kern = params.get("kernel")
+    if act is not None and isinstance(kern, StackedKernelRef) \
+            and not gate_up.has_bias:
+        from light_vllm_tpu.ops.stacked_matmul_pallas import (
+            stacked_matmul_gated, stacked_matmul_gated_supported,
+            stacked_quantized_matmul_gated)
+        from light_vllm_tpu.platforms import current_platform
+
+        if stacked_matmul_gated_supported(
+                kern.stack.shape[1], kern.stack.shape[2], act):
+            interp = not current_platform().is_tpu
+            scale = params.get("scale")
+            if scale is not None and kern.stack.dtype != x.dtype:
+                return stacked_quantized_matmul_gated(
+                    x, kern.stack, scale, kern.layer_idx, act=act,
+                    interpret=interp)
+            if scale is None and kern.stack.dtype == x.dtype:
+                return stacked_matmul_gated(x, kern.stack, kern.layer_idx,
+                                            act=act, interpret=interp)
+    return act_fn(gate_up(params, x))
+
+
 class QKVParallelLinear(MergedColumnParallelLinear):
     """Fused QKV projection, sharded on the head dimension
     (reference: linear.py:505)."""

@@ -27,7 +27,7 @@ from light_vllm_tpu.layers.base import Layer, tree_specs
 from light_vllm_tpu.layers.embedding import VocabParallelEmbedding
 from light_vllm_tpu.layers.linear import (MergedColumnParallelLinear,
                                           QKVParallelLinear,
-                                          RowParallelLinear)
+                                          RowParallelLinear, gated_mlp_act)
 from light_vllm_tpu.layers.norm import GemmaRMSNorm
 from light_vllm_tpu.layers.rotary import get_rope
 from light_vllm_tpu.ops.attention_ref import dense_attention
@@ -122,14 +122,15 @@ class GemmaDecoderLayer:
             x = residual + attn_out
             residual = x
             x = self.pre_ffw_ln(p["pre_ffw_ln"], x)
-            x = self.down(p["down"], self.act(self.gate_up(p["gate_up"], x)))
+            x = self.down(p["down"], gated_mlp_act(
+                self.act, self.gate_up, p["gate_up"], x))
             x = self.post_ffw_ln(p["post_ffw_ln"], x)
             return residual + x, kv_cache
         x = residual + attn_out
         residual = x
         x = self.post_attn_ln(p["post_attn_ln"], x)
-        x = residual + self.down(p["down"],
-                                 self.act(self.gate_up(p["gate_up"], x)))
+        x = residual + self.down(p["down"], gated_mlp_act(
+            self.act, self.gate_up, p["gate_up"], x))
         return x, kv_cache
 
     def encode_call(self, p, x, positions, mask, causal: bool):

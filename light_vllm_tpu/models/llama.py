@@ -101,9 +101,12 @@ class LlamaDecoderLayer:
         x = residual + self.o(p["o"], attn_out)
         residual = x
         x = self.post_attn_ln(p["post_attn_ln"], x)
-        x = residual + self.down(p["down"],
-                                 self.act(self.gate_up(p["gate_up"], x)))
+        x = residual + self.down(p["down"], self._mlp_act(p, x))
         return x, kv_cache
+
+    def _mlp_act(self, p, x):
+        from light_vllm_tpu.layers.linear import gated_mlp_act
+        return gated_mlp_act(self.act, self.gate_up, p["gate_up"], x)
 
     def encode_call(self, p, x, positions, mask, causal: bool):
         """Dense [B, L, H] forward without KV cache (embedder mode)."""

@@ -220,7 +220,7 @@ def prefill_paged_attention(
     *,
     page_size: int,
     scale: float,
-    pages_per_fetch: int = 0,  # 0 = auto: ~512-token chunks, VMEM-capped
+    pages_per_fetch: int = 0,  # 0 = auto: ~256-token chunks, VMEM-capped
     sliding_window=None,
     soft_cap=None,
     layer_idx=None,            # scalar i32 selecting the stacked layer
@@ -240,10 +240,14 @@ def prefill_paged_attention(
     G_pad = max((G + sublane - 1) // sublane * sublane, sublane)
     NT = tile_seq.shape[0]
     if not pages_per_fetch:
-        # ~512-token chunks: fewer fetch iterations (each runs a full
+        # ~256-token chunks: few fetch iterations (each runs a full
         # mask + online-softmax round per kv head), capped so the
         # double-buffered chunk scratch stays ≤ 4 MB.
-        pages_per_fetch = max(1, 512 // page_size)
+        # Chunk-size A/B on chip (256-token seqs, profiled device time):
+        # 128-tok 137us, 256-tok 91us, 512-tok 129us per layer call — the
+        # score/softmax math runs over the full R columns, so chunks much
+        # longer than the typical per-seq context are mostly masked waste.
+        pages_per_fetch = max(1, 256 // page_size)
         item = jnp.dtype(kv_pages.dtype).itemsize
         while 2 * pages_per_fetch * page_size * kvh2 * d * item \
                 > 4 * 1024 * 1024 and pages_per_fetch > 1:

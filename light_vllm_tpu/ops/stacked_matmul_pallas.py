@@ -212,3 +212,202 @@ def stacked_quantized_matmul(
         interpret=interpret,
     )(layer_arr, x, w_stack, scale)
     return out[:M]
+
+
+# --- gated-MLP epilogue fusion (gate_up matmul + SwiGLU in one kernel) ----
+#
+# The merged gate_up projection produces [M, 2I] and the activation
+# silu(gate) * up immediately re-reads it — ~150 MB of HBM traffic per
+# layer at M=2048, I=8960, measured ~0.16 ms/layer (slice_multiply
+# fusions) on top of the matmul's own output write. Computing BOTH halves
+# inside one kernel (two accumulators per tile; the up half's weight tile
+# sits I/nt blocks to the right in the same stack) emits only the final
+# [M, I] activation.
+
+_GATED_EPILOGUES = {
+    "silu": lambda g: g * jax.lax.logistic(g),
+    "gelu": lambda g: jax.nn.gelu(g, approximate=False),
+    "gelu_tanh": lambda g: jax.nn.gelu(g, approximate=True),
+}
+
+
+def _pick_tiles_gated(M, K, I, x_bytes, w_bytes, o_bytes, quantized):
+    # nt aligns to 128 lanes (not 256): the gate half I often has no
+    # 256-aligned divisor (Qwen2's 8960 -> 896 = 7*128).
+    kt = _pick_tile(K, 2048, 256)
+    nt = _pick_tile(I, 1024, 128)
+    if kt is None or nt is None:
+        return None
+    mt = min(max(M, 128), 512)
+
+    def scoped(mt, kt, nt):
+        b = (2 * mt * kt * x_bytes      # x tile, double-buffered
+             + 4 * kt * nt * w_bytes    # gate + up tiles, double-buffered
+             + 4 * mt * nt * 4          # two f32 accumulators + dot temps
+             + 2 * mt * nt * o_bytes)   # out tile
+        if quantized:
+            b += 4 * kt * nt * 2        # bf16 dequant intermediates
+        return b
+
+    while scoped(mt, kt, nt) > _VMEM_BUDGET:
+        kt2 = _pick_tile(K, kt // 2, 256) if kt > 256 else None
+        nt2 = _pick_tile(I, nt // 2, 128) if nt > 128 else None
+        if kt2 is not None and (kt >= nt or nt2 is None):
+            kt = kt2
+        elif nt2 is not None:
+            nt = nt2
+        elif mt > 128:
+            mt //= 2
+        else:
+            break
+    return mt, kt, nt
+
+
+def stacked_matmul_gated_supported(K: int, N2: int, act: str) -> bool:
+    return (act in _GATED_EPILOGUES and N2 % 2 == 0
+            and _pick_tile(K, 2048, 256) is not None
+            and _pick_tile(N2 // 2, 1024, 128) is not None)
+
+
+def _mm_gated_kernel(l_ref, x_ref, wg_ref, wu_ref, o_ref, accg, accu,
+                     *, nk: int, act: str):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        accg[...] = jnp.zeros_like(accg)
+        accu[...] = jnp.zeros_like(accu)
+
+    x = x_ref[...]
+    accg[...] += jax.lax.dot_general(
+        x, wg_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    accu[...] += jax.lax.dot_general(
+        x, wu_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _():
+        o_ref[...] = (_GATED_EPILOGUES[act](accg[...]) * accu[...]
+                      ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+def stacked_matmul_gated(
+    x: jnp.ndarray,        # [M, K]
+    w_stack: jnp.ndarray,  # [L, K, 2I] (gate at [:, :, :I], up at [:, :, I:])
+    layer_idx,             # scalar i32
+    *,
+    act: str = "silu",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """act(x @ Wg) * (x @ Wu) for the stacked merged gate_up weight."""
+    M, K = x.shape
+    L, K2, N2 = w_stack.shape
+    I = N2 // 2
+    assert K == K2 and N2 % 2 == 0, (x.shape, w_stack.shape)
+    mt, kt, nt = _pick_tiles_gated(M, K, I, x.dtype.itemsize,
+                                   w_stack.dtype.itemsize, x.dtype.itemsize,
+                                   quantized=False)
+    M_pad = cdiv(M, mt) * mt
+    if M_pad != M:
+        x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
+    layer_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    nk = K // kt
+    up_off = I // nt
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M_pad // mt, I // nt, nk),
+        in_specs=[
+            pl.BlockSpec((mt, kt), lambda m, n, k, l: (m, k)),
+            pl.BlockSpec((1, kt, nt), lambda m, n, k, l: (l[0], k, n)),
+            pl.BlockSpec((1, kt, nt),
+                         lambda m, n, k, l: (l[0], k, n + up_off)),
+        ],
+        out_specs=pl.BlockSpec((mt, nt), lambda m, n, k, l: (m, n)),
+        scratch_shapes=[pltpu.VMEM((mt, nt), jnp.float32),
+                        pltpu.VMEM((mt, nt), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_mm_gated_kernel, nk=nk, act=act),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M_pad, I), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(layer_arr, x, w_stack, w_stack)
+    return out[:M]
+
+
+def _qmm_gated_kernel(l_ref, x_ref, wg_ref, wu_ref, sg_ref, su_ref, o_ref,
+                      accg, accu, *, nk: int, act: str):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        accg[...] = jnp.zeros_like(accg)
+        accu[...] = jnp.zeros_like(accu)
+
+    x = x_ref[...]
+    accg[...] += jax.lax.dot_general(
+        x, wg_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    accu[...] += jax.lax.dot_general(
+        x, wu_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _():
+        g = accg[...] * sg_ref[...].astype(jnp.float32)
+        u = accu[...] * su_ref[...].astype(jnp.float32)
+        o_ref[...] = (_GATED_EPILOGUES[act](g) * u).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+def stacked_quantized_matmul_gated(
+    x: jnp.ndarray,        # [M, K] bf16/f32
+    w_stack: jnp.ndarray,  # [L, K, 2I] fp8/int8
+    scale: jnp.ndarray,    # [2I] f32 per-output-channel
+    layer_idx,
+    *,
+    act: str = "silu",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, K = x.shape
+    L, K2, N2 = w_stack.shape
+    I = N2 // 2
+    assert K == K2 and scale.shape == (N2,), (x.shape, w_stack.shape,
+                                              scale.shape)
+    mt, kt, nt = _pick_tiles_gated(M, K, I, x.dtype.itemsize,
+                                   w_stack.dtype.itemsize, x.dtype.itemsize,
+                                   quantized=True)
+    M_pad = cdiv(M, mt) * mt
+    if M_pad != M:
+        x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
+    layer_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    nk = K // kt
+    up_off = I // nt
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M_pad // mt, I // nt, nk),
+        in_specs=[
+            pl.BlockSpec((mt, kt), lambda m, n, k, l: (m, k)),
+            pl.BlockSpec((1, kt, nt), lambda m, n, k, l: (l[0], k, n)),
+            pl.BlockSpec((1, kt, nt),
+                         lambda m, n, k, l: (l[0], k, n + up_off)),
+            pl.BlockSpec((nt,), lambda m, n, k, l: (n,)),
+            pl.BlockSpec((nt,), lambda m, n, k, l: (n + up_off,)),
+        ],
+        out_specs=pl.BlockSpec((mt, nt), lambda m, n, k, l: (m, n)),
+        scratch_shapes=[pltpu.VMEM((mt, nt), jnp.float32),
+                        pltpu.VMEM((mt, nt), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_qmm_gated_kernel, nk=nk, act=act),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M_pad, I), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(layer_arr, x, w_stack, w_stack, scale, scale)
+    return out[:M]
