@@ -216,14 +216,19 @@ def _decode_kernel(
 
 
 def _pick_block_params(S, page_size, rows, d_k, itemsize):
-    """Pick (seq_block, pages_per_fetch) under the VMEM chunk budget."""
+    """Pick (seq_block, pages_per_fetch) under the VMEM chunk budget.
+
+    seq_block must stay >= 8 when smaller than S: the per-block seq_lens
+    BlockSpec is (B, 1) and Mosaic requires the sublane dim to be a
+    multiple of 8 (or the full array) — 8-kv-head models (Llama-3-8B)
+    hit this with big per-seq chunks, so shrink the chunk first."""
     ppf = max(1, TARGET_CHUNK_TOKENS // page_size)
-    R = ppf * page_size
-    per_seq = 2 * R * rows * d_k * itemsize  # double-buffered chunk bytes
+    per_seq = 2 * ppf * page_size * rows * d_k * itemsize
     B = max(1, min(16, KV_BUF_BUDGET // per_seq, S))
-    while B * per_seq > KV_BUF_BUDGET and ppf > 1:
+    while B < min(8, S) and ppf > 1:
         ppf //= 2
         per_seq //= 2
+        B = max(1, min(16, KV_BUF_BUDGET // per_seq, S))
     return B, ppf
 
 
@@ -326,6 +331,10 @@ def paged_attention_decode(
                           soft_cap=soft_cap, packed=packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S_pad, kvh, G_pad, d_k), q.dtype),
+        # headroom for 8-kv-head models; v5e has 128M physical VMEM (the
+        # default scoped limit is far lower)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )
     out = kernel(block_tables, seq_lens, layer_arr, q_grouped, sl_vmem, kv)

@@ -299,6 +299,11 @@ def prefill_paged_attention(
                           soft_cap=soft_cap, packed=packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tpad, kvh, G_pad, d_k), q.dtype),
+        # 8-kv-head models (Llama-3-8B) need ~33M of scratch (q/o bufs +
+        # per-head accumulators); the default scoped limit is 32M while
+        # v5e has 128M physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )
     out = kernel(tile_seq, tile_qstart, block_tables, seq_lens, ctx_lens,
