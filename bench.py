@@ -159,9 +159,12 @@ def main():
     num_prompts = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
     res = {}
-    llm = build_llm(qwen2_1_5b_config(), max_num_seqs=128)
-    res["qwen2"] = run_workload(llm, num_prompts, 256, 16, "qwen2-1.5b")
-    del llm
+    if not int(os.environ.get("LVT_BENCH_SKIP_QWEN", "0")):
+        llm = build_llm(qwen2_1_5b_config(), max_num_seqs=128)
+        res["qwen2"] = run_workload(llm, num_prompts, 256, 16, "qwen2-1.5b")
+        del llm
+    else:  # 8B-leg iteration mode: keep the JSON schema intact
+        res["qwen2"] = {"total_tok_s": 0.0, "skipped": True}
 
     extra = {}
     if not int(os.environ.get("LVT_BENCH_SKIP_8B", "0")):

@@ -173,6 +173,12 @@ def gated_mlp_act(act_fn, gate_up: "MergedColumnParallelLinear",
             interp = not current_platform().is_tpu
             scale = params.get("scale")
             if scale is not None and kern.stack.dtype != x.dtype:
+                from light_vllm_tpu.layers.quant.fp8 import FP8_HOIST_MIN_M
+                if x.shape[0] >= FP8_HOIST_MIN_M:
+                    # big batches route through the hoisted-dequant XLA
+                    # path (see quant/fp8.py apply) — faster than any
+                    # inline-dequant Mosaic kernel, fused or not
+                    return act_fn(gate_up(params, x))
                 return stacked_quantized_matmul_gated(
                     x, kern.stack, scale, kern.layer_idx, act=act,
                     interpret=interp)

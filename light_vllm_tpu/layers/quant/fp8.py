@@ -19,6 +19,9 @@ from light_vllm_tpu.layers.linear import LinearMethodBase
 from light_vllm_tpu.layers.quant.base import QuantizationConfig
 
 FP8_MAX = 448.0  # e4m3fn
+# Batch size above which stacked-fp8 matmuls hoist the layer dequant into
+# an XLA fusion + native dot instead of inline Mosaic dequant (see apply).
+FP8_HOIST_MIN_M = 1024
 
 
 class Fp8LinearMethod(LinearMethodBase):
@@ -53,6 +56,18 @@ class Fp8LinearMethod(LinearMethodBase):
                 stacked_quantized_matmul
             from light_vllm_tpu.platforms import current_platform
 
+            if x.shape[0] >= FP8_HOIST_MIN_M:
+                # Prefill-sized batches: Mosaic's e4m3->bf16 convert is
+                # emulated (~11 cycles/elem), so the inline-dequant kernel
+                # runs at ~25% MFU; hoisting the dequant into one XLA
+                # fusion and using the native dot measures 3.7 ms vs
+                # 9.7 ms on the 8B gate_up (66% vs 25% MFU). Small
+                # (decode) batches keep the inline kernel — materializing
+                # the 2-byte layer copy for 128 rows would be pure
+                # bandwidth waste there.
+                wd = (w.stack[w.layer_idx].astype(jnp.float32)
+                      * scale).astype(x.dtype)
+                return jnp.dot(x, wd, preferred_element_type=x.dtype)
             return stacked_quantized_matmul(
                 x, w.stack, scale, w.layer_idx,
                 interpret=not current_platform().is_tpu)
