@@ -82,14 +82,13 @@ def test_moe_sorted_compute_stacked_parity():
                                    atol=2e-3)
 
 
-@pytest.mark.parametrize("indexed", ["0", "1"])
-def test_mixtral_scan_grouped_token_parity(indexed, monkeypatch):
+def test_mixtral_scan_grouped_token_parity(monkeypatch):
     """Engine-level: tiny Mixtral under scan with the grouped backend
     forced — StackedKernelRef expert stacks (indexed=1) must match the
-    sliced path token-for-token."""
+    sliced path token-for-token. Both variants run inside ONE test so the
+    comparison cannot be split across pytest-xdist workers."""
     monkeypatch.setenv("LVT_SCAN_LAYERS", "1")
     monkeypatch.setenv("LVT_MOE_BACKEND", "grouped")
-    monkeypatch.setenv("LVT_INDEXED_PARAMS", indexed)
     from light_vllm_tpu import LLM, SamplingParams
 
     cfg = dict(architectures=["MixtralForCausalLM"], vocab_size=512,
@@ -99,14 +98,17 @@ def test_mixtral_scan_grouped_token_parity(indexed, monkeypatch):
                num_experts_per_tok=2, max_position_embeddings=128,
                rms_norm_eps=1e-5, rope_theta=10000.0, hidden_act="silu",
                tie_word_embeddings=False)
-    llm = LLM(hf_config=cfg, load_format="dummy", dtype="float32",
-              max_model_len=64, block_size=16,
-              num_device_blocks_override=64, max_num_seqs=4, seed=0)
-    outs = llm.generate([{"prompt_token_ids": [5, 6, 7, 8, 9]}],
-                        SamplingParams(temperature=0.0, max_tokens=6,
-                                       ignore_eos=True))
-    toks = list(outs[0].outputs[0].token_ids)
-    if indexed == "0":
-        test_mixtral_scan_grouped_token_parity.baseline = toks
-    else:
-        assert toks == test_mixtral_scan_grouped_token_parity.baseline
+
+    def run(indexed):
+        monkeypatch.setenv("LVT_INDEXED_PARAMS", indexed)
+        llm = LLM(hf_config=cfg, load_format="dummy", dtype="float32",
+                  max_model_len=64, block_size=16,
+                  num_device_blocks_override=64, max_num_seqs=4, seed=0)
+        outs = llm.generate([{"prompt_token_ids": [5, 6, 7, 8, 9]}],
+                            SamplingParams(temperature=0.0, max_tokens=6,
+                                           ignore_eos=True))
+        toks = list(outs[0].outputs[0].token_ids)
+        llm.llm_engine.shutdown()
+        return toks
+
+    assert run("1") == run("0")
