@@ -1,0 +1,50 @@
+"""Fast e4m3fn -> bf16/f32 upconversion for Pallas TPU kernels.
+
+v5e has no fp8 datapath: Mosaic lowers `fp8.astype(bf16)` to a scalarized
+emulation sequence (~11 cycles/elem) which dominates fp8 decode steps —
+profiled 4.4 ms/layer in paged_attention_decode (fp8 KV) and 1.8 ms/layer
+in the inline-dequant stacked matmul on Llama-3-8B, vs ~0.1 ms of actual
+DMA+MXU work. This module replaces the emulated convert with VPU integer
+bit manipulation: an e4m3fn value is re-fielded into the bf16 layout
+(sign<<8 | exp/mantissa<<4) and rescaled by 2^(127-7); denormals
+(exp==0, value = m * 2^-9) take an integer-mantissa path selected by a
+vector compare. Exact for every non-NaN bit pattern (fp8 NaN maps to a
+large finite value — weights and KV never contain NaN); verified
+exhaustively in tests/ops/test_fp8_cast.py.
+
+All ops are plain jnp on uint16/bf16, so the helper works both inside
+Pallas kernel bodies and in XLA-compiled code.
+"""
+
+import jax
+import jax.numpy as jnp
+
+_E4M3_RESCALE = 2.0 ** (127 - 7)  # bf16 bias - e4m3 bias
+
+
+def e4m3_to_bf16(w: jnp.ndarray) -> jnp.ndarray:
+    """Bitwise-exact e4m3fn -> bf16 (except NaN), VPU-friendly."""
+    u = jax.lax.bitcast_convert_type(w, jnp.uint8).astype(jnp.uint16)
+    mag = u & 0x7F
+    bits = ((u & 0x80) << 8) | (mag << 4)
+    norm = jax.lax.bitcast_convert_type(bits.astype(jnp.uint16),
+                                        jnp.bfloat16) * \
+        jnp.bfloat16(_E4M3_RESCALE)
+    # exp==0: denormal, value = mantissa * 2^-9 (all results bf16 normals,
+    # so no flush-to-zero hazard on the VPU)
+    denorm_mag = mag.astype(jnp.bfloat16) * jnp.bfloat16(2.0 ** -9)
+    denorm = jnp.where((u & 0x80) != 0, -denorm_mag, denorm_mag)
+    return jnp.where(mag >= 8, norm, denorm)
+
+
+def upcast_kernel_operand(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """`x.astype(dtype)` that routes e4m3fn through the fast bitwise path.
+
+    Drop-in for the `k.astype(jnp.float32)` / `w.astype(jnp.bfloat16)`
+    operand upcasts in kernel bodies; non-fp8 inputs use the native
+    convert.
+    """
+    if x.dtype == jnp.float8_e4m3fn:
+        y = e4m3_to_bf16(x)
+        return y if dtype == jnp.bfloat16 else y.astype(dtype)
+    return x.astype(dtype)

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from light_vllm_tpu.ops.fp8_cast import upcast_kernel_operand
 from light_vllm_tpu.utils import cdiv
 
 NEG_INF = -1e30
@@ -172,7 +173,8 @@ def _decode_kernel(
                 q = q_ref[b, j].astype(jnp.float32) * scale  # [G, d]
                 k = kv3[:, j if packed else 2 * j, :]        # [R, d]
                 scores_ref[b, j] = jax.lax.dot_general(
-                    q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                    q, upcast_kernel_operand(k, jnp.float32),
+                    (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)      # [G, R]
 
         # ---- masking + online softmax, batched over [B, kvh, G, R] ----
@@ -204,7 +206,7 @@ def _decode_kernel(
             for j in range(kvh):
                 v = kv3[:, j if packed else 2 * j + 1, :]    # [R, d]
                 acc_ref[b, j] += jax.lax.dot_general(
-                    scores_ref[b, j], v.astype(jnp.float32),
+                    scores_ref[b, j], upcast_kernel_operand(v, jnp.float32),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         return 0

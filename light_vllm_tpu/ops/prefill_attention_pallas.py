@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from light_vllm_tpu.ops.fp8_cast import upcast_kernel_operand
+
 NEG_INF = -1e30
 
 TILE_Q = 128
@@ -170,7 +172,8 @@ def _prefill_kernel(
                     v = jnp.where(col_rows < seq_len, kv[:, 2 * j + 1, :],
                                   jnp.zeros((), kv.dtype))
                 scores = jax.lax.dot_general(
-                    q.astype(compute_dt), k.astype(compute_dt),
+                    q.astype(compute_dt),
+                    upcast_kernel_operand(k, compute_dt),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [rows, R]
                 if soft_cap is not None:
@@ -185,7 +188,8 @@ def _prefill_kernel(
                 l_ref[j, :, :1] = alpha * l_ref[j, :, :1] + jnp.sum(
                     p, axis=-1, keepdims=True)
                 acc_ref[j] = acc_ref[j] * alpha + jax.lax.dot_general(
-                    p.astype(compute_dt), v.astype(compute_dt),
+                    p.astype(compute_dt),
+                    upcast_kernel_operand(v, compute_dt),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 m_ref[j, :, :1] = m_new

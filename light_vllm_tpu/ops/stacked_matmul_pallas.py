@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from light_vllm_tpu.ops.fp8_cast import upcast_kernel_operand
 from light_vllm_tpu.utils import cdiv
 
 
@@ -153,7 +154,9 @@ def _qmm_kernel(l_ref, x_ref, w_ref, scale_ref, o_ref, acc_ref, *, nk: int):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[0].astype(jnp.bfloat16)  # tile dequant happens on the MXU feed
+    # tile dequant on the MXU feed; fp8 takes the bitwise VPU path
+    # (Mosaic's emulated convert is ~11 cyc/elem — see ops/fp8_cast.py)
+    w = upcast_kernel_operand(w_ref[0], jnp.bfloat16)
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...], w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -348,11 +351,11 @@ def _qmm_gated_kernel(l_ref, x_ref, wg_ref, wu_ref, sg_ref, su_ref, o_ref,
 
     x = x_ref[...]
     accg[...] += jax.lax.dot_general(
-        x, wg_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        x, upcast_kernel_operand(wg_ref[0], jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     accu[...] += jax.lax.dot_general(
-        x, wu_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        x, upcast_kernel_operand(wu_ref[0], jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == nk - 1)
     def _():
