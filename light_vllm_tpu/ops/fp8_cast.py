@@ -23,8 +23,15 @@ _E4M3_RESCALE = 2.0 ** (127 - 7)  # bf16 bias - e4m3 bias
 
 
 def e4m3_to_bf16(w: jnp.ndarray) -> jnp.ndarray:
-    """Bitwise-exact e4m3fn -> bf16 (except NaN), VPU-friendly."""
-    u = jax.lax.bitcast_convert_type(w, jnp.uint8).astype(jnp.uint16)
+    """Bitwise-exact e4m3fn -> bf16 (except NaN), VPU-friendly.
+
+    All bit manipulation runs in int32 lanes: TPU VPU lanes are 32-bit
+    natively, and Mosaic has no legalization for sub-32-bit vector shifts
+    (`arith.shli` on i16 vectors fails to lower) or uint16<->float casts.
+    The only narrow ops are the final i32->u16 truncation and the
+    same-width u16->bf16 bitcast, both of which lower cleanly.
+    """
+    u = jax.lax.bitcast_convert_type(w, jnp.uint8).astype(jnp.int32)
     mag = u & 0x7F
     bits = ((u & 0x80) << 8) | (mag << 4)
     norm = jax.lax.bitcast_convert_type(bits.astype(jnp.uint16),
