@@ -67,17 +67,40 @@ def _apply_quantize_hooks(layer_tree: Any, params: Any) -> Any:
     return params
 
 
+def _apply_manual_tp_shuffle(layer_tree: Any, params: Any, tp: int) -> Any:
+    """Permute merged column-parallel kernels for manual-TP shard layout
+    (see MergedColumnParallelLinear.shuffle_for_manual_tp)."""
+    from light_vllm_tpu.layers.base import Layer
+    from light_vllm_tpu.layers.linear import MergedColumnParallelLinear
+
+    if isinstance(layer_tree, MergedColumnParallelLinear):
+        return layer_tree.shuffle_for_manual_tp(params, tp)
+    if isinstance(layer_tree, Layer):
+        return params
+    if isinstance(layer_tree, dict):
+        return {k: (_apply_manual_tp_shuffle(layer_tree[k], v, tp)
+                    if k in layer_tree else v)
+                for k, v in params.items()}
+    if isinstance(layer_tree, (list, tuple)):
+        return [_apply_manual_tp_shuffle(lt, p, tp)
+                for lt, p in zip(layer_tree, params)]
+    return params
+
+
 class BaseModelLoader:
 
     def __init__(self, load_config: LoadConfig) -> None:
         self.load_config = load_config
 
-    def load_params(self, model, engine_config, mesh=None):
+    def load_params(self, model, engine_config, mesh=None, manual_tp=1):
         raise NotImplementedError
 
-    def _finalize(self, model, params_np, mesh):
+    def _finalize(self, model, params_np, mesh, manual_tp=1):
         if hasattr(model, "layer_tree"):
             params_np = _apply_quantize_hooks(model.layer_tree(), params_np)
+            if manual_tp > 1:
+                params_np = _apply_manual_tp_shuffle(
+                    model.layer_tree(), params_np, manual_tp)
         if getattr(model, "scan_layers", False) and \
                 isinstance(params_np.get("layers"), (list, tuple)):
             # Scan-over-layers models consume stacked [L, ...] params;
@@ -95,7 +118,7 @@ class DefaultModelLoader(BaseModelLoader):
     """Stream safetensors/bin shards → model.load_weights → sharded arrays
     (reference: loader.py:141 DefaultModelLoader)."""
 
-    def load_params(self, model, engine_config, mesh=None):
+    def load_params(self, model, engine_config, mesh=None, manual_tp=1):
         from light_vllm_tpu.core.loader.hf_utils import (
             pt_weights_iterator, resolve_weight_files,
             safetensors_weights_iterator)
@@ -107,7 +130,7 @@ class DefaultModelLoader(BaseModelLoader):
         else:
             it = pt_weights_iterator(files)
         params_np = model.load_weights(it)
-        return self._finalize(model, params_np, mesh)
+        return self._finalize(model, params_np, mesh, manual_tp)
 
 
 class NpCacheModelLoader(DefaultModelLoader):
@@ -118,7 +141,7 @@ class NpCacheModelLoader(DefaultModelLoader):
     guarded by an exclusive flock so concurrent engine processes convert
     once (reference: weight_utils.py:329 lock around downloads)."""
 
-    def load_params(self, model, engine_config, mesh=None):
+    def load_params(self, model, engine_config, mesh=None, manual_tp=1):
         import contextlib
         import json
         import os
@@ -169,14 +192,16 @@ class NpCacheModelLoader(DefaultModelLoader):
                                     mmap_mode="r")
 
         params_np = model.load_weights(cached_iter())
-        return self._finalize(model, params_np, mesh)
+        return self._finalize(model, params_np, mesh, manual_tp)
 
 
 class DummyModelLoader(BaseModelLoader):
     """Random init at full shape — profiling and benchmarks without
     checkpoints (reference: loader.py:294 DummyModelLoader)."""
 
-    def load_params(self, model, engine_config, mesh=None):
+    def load_params(self, model, engine_config, mesh=None, manual_tp=1):
+        # random init: a column permutation of i.i.d. random weights is
+        # identically distributed, so no shuffle is needed for manual TP
         seed = getattr(engine_config.model_config, "seed", 0)
         key = jax.random.PRNGKey(seed)
         specs = model.specs()
@@ -199,12 +224,12 @@ class StateDictLoader(BaseModelLoader):
     """In-memory state dict (offline tests; reference analog is the HfRunner
     comparison path in tests)."""
 
-    def load_params(self, model, engine_config, mesh=None):
+    def load_params(self, model, engine_config, mesh=None, manual_tp=1):
         from light_vllm_tpu.core.loader.hf_utils import state_dict_iterator
 
         params_np = model.load_weights(
             state_dict_iterator(self.load_config.state_dict))
-        return self._finalize(model, params_np, mesh)
+        return self._finalize(model, params_np, mesh, manual_tp)
 
 
 def get_model_loader(load_config: LoadConfig) -> BaseModelLoader:

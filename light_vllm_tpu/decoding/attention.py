@@ -262,10 +262,18 @@ class Attention:
         the cache is never sliced, so it aliases in place in the scan
         carry). scales: optional {"k_scale","v_scale"} f32 scalars for an
         fp8 cache. Returns (out [T, h*d], new_kv_cache)."""
+        from light_vllm_tpu.parallel.manual import manual_tp_size
+
         T = q.shape[0]
-        qh = q.reshape(T, self.num_heads, self.head_dim)
-        kh = k.reshape(T, self.num_kv_heads, self.head_dim)
-        vh = v.reshape(T, self.num_kv_heads, self.head_dim)
+        # Under manual-TP (whole-model shard_map, parallel/manual.py) this
+        # traces per-shard: q/k/v carry only the LOCAL heads and kv_cache
+        # is the local kv-head slice, so no nested shard_map is needed.
+        mtp = manual_tp_size()
+        n_heads = self.num_heads // mtp
+        n_kv = self.num_kv_heads // mtp
+        qh = q.reshape(T, n_heads, self.head_dim)
+        kh = k.reshape(T, n_kv, self.head_dim)
+        vh = v.reshape(T, n_kv, self.head_dim)
         k_s = v_s = None
         if scales is not None:
             # Exact fp8-KV dequant without touching the kernels: the cache
@@ -278,7 +286,7 @@ class Attention:
             v_s = scales["v_scale"].astype(jnp.float32)
             qh = (qh.astype(jnp.float32) * k_s).astype(q.dtype)
         mesh = self.backend.mesh
-        if self.backend.shard_attention and mesh is not None \
+        if mtp == 1 and self.backend.shard_attention and mesh is not None \
                 and mesh.shape.get("tp", 1) > 1:
             out, kv_cache = self._sharded_call(qh, kh, vh, kv_cache, meta,
                                                mesh, layer_idx, k_s, v_s)
@@ -293,7 +301,7 @@ class Attention:
                 layer_idx=layer_idx)
         if v_s is not None:
             out = (out.astype(jnp.float32) * v_s).astype(q.dtype)
-        return out.reshape(T, self.num_heads * self.head_dim), kv_cache
+        return out.reshape(T, n_heads * self.head_dim), kv_cache
 
     def _sharded_call(self, qh, kh, vh, kv_cache, meta: DecodeAttnMetadata,
                       mesh, layer_idx=None, k_s=None, v_s=None):

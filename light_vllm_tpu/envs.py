@@ -61,6 +61,13 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # partitionable); "1"/"0" force.
     "LVT_INDEXED_PARAMS": lambda: os.environ.get("LVT_INDEXED_PARAMS",
                                                  "auto"),
+    # Manual-SPMD tensor parallelism: run the whole decoding step inside
+    # one shard_map over the mesh (parallel/manual.py), keeping the Pallas
+    # stacked matmuls enabled under tp>1 (GSPMD can't partition
+    # pallas_call; the fallback XLA weight-stack slicing measured ~2x
+    # step time). "1" (default) = on when tp>1 and the model supports it;
+    # "0" = force the GSPMD path.
+    "LVT_MANUAL_TP": lambda: os.environ.get("LVT_MANUAL_TP", "1"),
     # Deferred-output decode chaining (async mode): pure-decode multi-step
     # windows whose outputs no host decision depends on are pythonized
     # lazily; the worker splices the previous window's device-side tokens

@@ -15,11 +15,14 @@ transposed at load time.
 
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from light_vllm_tpu.layers.base import (Layer, ParamSpec, Params,
                                         StackedKernelRef)
+from light_vllm_tpu.parallel.manual import manual_tp_axis, manual_tp_size
 
 
 class LinearMethodBase:
@@ -123,7 +126,10 @@ class ColumnParallelLinear(LinearBase):
 
 
 class RowParallelLinear(LinearBase):
-    """Input-dimension sharded; XLA adds the all-reduce
+    """Input-dimension sharded; XLA adds the all-reduce under GSPMD. Under
+    manual-TP (the whole-model shard_map of parallel/manual.py) the layer
+    psums its per-shard partial product itself — the explicit collective
+    the reference's RowParallelLinear issues over NCCL
     (reference: linear.py:698)."""
 
     def __init__(self, in_features, out_features, *, bias=False,
@@ -132,6 +138,16 @@ class RowParallelLinear(LinearBase):
                          kernel_pspec=P(tp_axis, None),
                          bias_pspec=P(),
                          quant_method=quant_method)
+
+    def __call__(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        y = self.quant_method.apply(self, params, x)
+        if manual_tp_size() > 1:
+            # partial product over the local input shard → sum over "tp";
+            # bias is replicated so it is added once, after the psum.
+            y = jax.lax.psum(y, manual_tp_axis())
+        if self.has_bias:
+            y = y + params["bias"].astype(y.dtype)
+        return y
 
 
 class MergedColumnParallelLinear(ColumnParallelLinear):
@@ -147,6 +163,49 @@ class MergedColumnParallelLinear(ColumnParallelLinear):
 
     def shard_offset(self, idx: int) -> int:
         return int(sum(self.output_sizes[:idx]))
+
+    # --- manual-TP column shuffle --------------------------------------------
+    # Under the whole-model shard_map (parallel/manual.py), shard r sees
+    # the contiguous column block [r*N/tp, (r+1)*N/tp) of the kernel. The
+    # checkpoint layout is [sub0 | sub1 | ...] (e.g. q|k|v), so that block
+    # would straddle sub-projection boundaries. Permuting columns at load
+    # time to [sub0_r0 sub1_r0 ... | sub0_r1 sub1_r1 ...] makes every
+    # shard's local block a miniature [sub0_r | sub1_r | ...] merged
+    # kernel, and the local split points are simply output_sizes/tp —
+    # the implicit layout of the reference's per-shard weight loading
+    # (reference: linear.py:505 QKVParallelLinear weight_loader).
+
+    def supports_manual_tp(self, tp: int) -> bool:
+        return all(s % tp == 0 for s in self.output_sizes)
+
+    def manual_tp_permutation(self, tp: int) -> np.ndarray:
+        idx = []
+        for r in range(tp):
+            off = 0
+            for s in self.output_sizes:
+                per = s // tp
+                idx.extend(range(off + r * per, off + (r + 1) * per))
+                off += s
+        return np.asarray(idx, np.int64)
+
+    def shuffle_for_manual_tp(self, raw: Params, tp: int) -> Params:
+        """Permute the out_features axis of every host-side param."""
+        if tp <= 1:
+            return raw
+        perm = self.manual_tp_permutation(tp)
+        N = self.out_features
+        out = {}
+        for name, arr in raw.items():
+            a = np.asarray(arr)
+            # the out_features axis is the last one of size N (kernel
+            # [K, N], int4 scale/zero [ng, N]) or axis 0 for 1-D (bias,
+            # per-channel scale [N])
+            if a.ndim == 1 and a.shape[0] == N:
+                a = a[perm]
+            elif a.ndim >= 2 and a.shape[-1] == N:
+                a = a[..., perm]
+            out[name] = a
+        return out
 
 
 def gated_mlp_act(act_fn, gate_up: "MergedColumnParallelLinear",
@@ -205,8 +264,12 @@ class QKVParallelLinear(MergedColumnParallelLinear):
                          quant_method=quant_method)
 
     def split_qkv(self, qkv: jnp.ndarray):
-        q_size = self.num_heads * self.head_dim
-        kv_size = self.num_kv_heads * self.head_dim
+        # Under manual-TP the projection output is the local shard
+        # [q_r | k_r | v_r] (columns shuffled at load — see
+        # shuffle_for_manual_tp), so the split points are the LOCAL sizes.
+        tp = manual_tp_size()
+        q_size = self.num_heads * self.head_dim // tp
+        kv_size = self.num_kv_heads * self.head_dim // tp
         q = qkv[..., :q_size]
         k = qkv[..., q_size:q_size + kv_size]
         v = qkv[..., q_size + kv_size:]
