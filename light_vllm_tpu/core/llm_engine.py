@@ -112,6 +112,13 @@ class LLMEngine:
         )
         task, model_path, workflow_path = ModelRegistry.resolve(
             model_config.architectures)
+        # `workflow=` engine-arg overrides the registry's workflow string
+        # ("module.path:Class") — e.g. run a bare BertModel through
+        # EncodeOnlyWorkflow for raw hidden states instead of the
+        # retriever routing its architecture resolves to (reference
+        # analog: the Workflow class plug points of
+        # light_vllm/core/workflow.py:4-22).
+        workflow_path = engine_args.get("workflow") or workflow_path
         workflow_cls = lazy_import(workflow_path)
         workflow_cls = workflow_cls.from_engine_args(engine_args)
         args_cls = lazy_import(workflow_cls.EngineArgs)
@@ -136,6 +143,10 @@ class LLMEngine:
     def has_unfinished_requests(self) -> bool:
         if self.use_async_scheduling and self.num_on_the_fly > 0:
             return True
+        if self._drained_outputs:
+            # Outputs already produced (deferred drain or ignored-only
+            # batches) but not yet handed to the caller.
+            return True
         return self.scheduler.has_unfinished_requests()
 
     def get_num_unfinished_requests(self) -> int:
@@ -147,6 +158,13 @@ class LLMEngine:
         scheduler_output = self.scheduler.schedule()
         if scheduler_output.is_empty():
             return []
+        if not scheduler_output.needs_execution():
+            # Only ignored (over-length) requests: emit their finished
+            # outputs without a model forward.
+            request_outputs = self.output_processor(scheduler_output, None)
+            self.scheduler.free_finished_request(scheduler_output)
+            self._on_step_done(scheduler_output, request_outputs)
+            return request_outputs
         execute_input = self.model_inputs_builder(scheduler_output)
         execute_output = self.executor.execute_model(execute_input)
         request_outputs = self.output_processor(scheduler_output,
@@ -200,6 +218,14 @@ class LLMEngine:
             scheduler_output = self.scheduler.schedule()
             if scheduler_output.is_empty():
                 break
+            if not scheduler_output.needs_execution():
+                # Ignored-only batch: emit outputs inline, nothing to
+                # dispatch to the executor.
+                outs = self.output_processor(scheduler_output, None)
+                self.scheduler.free_finished_request(scheduler_output)
+                self._on_step_done(scheduler_output, outs)
+                self._drained_outputs.extend(outs)
+                continue
             sig = self._window_sig(scheduler_output)
             chain = sig is not None and sig == self._chain_sig
             if self._deferred and not chain:

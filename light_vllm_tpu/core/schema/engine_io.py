@@ -103,6 +103,12 @@ class SchedulerOutput:
     def is_empty(self) -> bool:
         raise NotImplementedError
 
+    def needs_execution(self) -> bool:
+        """False when the step has only ignored/finished bookkeeping to
+        emit and no model forward to run; the engine then calls the
+        output processor with execute_output=None."""
+        return True
+
 
 @dataclass
 class CompletionOutput:

@@ -19,8 +19,9 @@ class EncodeOnlyOutputProcessor(OutputProcessor):
     def __call__(self, scheduler_output: PrefillOnlySchedulerOutput,
                  execute_output: PrefillOnlyExecuteOutput
                  ) -> List[EmbeddingRequestOutput]:
-        hidden = np.asarray(execute_output.hidden_states)  # [B, L, H]
         outputs = []
+        if scheduler_output.scheduled_requests:
+            hidden = np.asarray(execute_output.hidden_states)  # [B, L, H]
         for i, r in enumerate(scheduler_output.scheduled_requests):
             n = r.num_new_tokens()
             outputs.append(EmbeddingRequestOutput(

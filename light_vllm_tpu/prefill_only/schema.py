@@ -29,7 +29,14 @@ class PrefillOnlySchedulerOutput(SchedulerOutput):
     ignored_requests: List[Request] = field(default_factory=list)
 
     def is_empty(self) -> bool:
-        return not self.scheduled_requests
+        # Ignored (over-length) requests still need their finished/None
+        # outputs emitted — a step with only ignored requests is NOT empty
+        # (improves on reference prefill_only/schema/engine_io.py:36-37,
+        # which silently drops an ignored-only batch).
+        return not self.scheduled_requests and not self.ignored_requests
+
+    def needs_execution(self) -> bool:
+        return bool(self.scheduled_requests)
 
 
 @dataclass

@@ -72,9 +72,10 @@ class RerankerOutputProcessor(OutputProcessor):
     def __call__(self, scheduler_output: PrefillOnlySchedulerOutput,
                  execute_output: PrefillOnlyExecuteOutput
                  ) -> List[RerankerRequestOutput]:
-        scores = np.asarray(execute_output.pooled_output,
-                            dtype=np.float32)  # [B]
         outputs = []
+        if scheduler_output.scheduled_requests:
+            scores = np.asarray(execute_output.pooled_output,
+                                dtype=np.float32)  # [B]
         for i, r in enumerate(scheduler_output.scheduled_requests):
             outputs.append(RerankerRequestOutput(
                 request_id=r.request_id, finished=True,

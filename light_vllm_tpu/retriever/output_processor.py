@@ -17,11 +17,12 @@ class RetrieverOutputProcessor(OutputProcessor):
     def __call__(self, scheduler_output: PrefillOnlySchedulerOutput,
                  execute_output: PrefillOnlyExecuteOutput
                  ) -> List[EmbeddingRequestOutput]:
-        hidden = np.asarray(execute_output.hidden_states)  # [B, L, H]
-        cls_vecs = hidden[:, 0].astype(np.float32)
-        norms = np.linalg.norm(cls_vecs, axis=-1, keepdims=True)
-        dense = cls_vecs / np.maximum(norms, 1e-12)
         outputs = []
+        if scheduler_output.scheduled_requests:
+            hidden = np.asarray(execute_output.hidden_states)  # [B, L, H]
+            cls_vecs = hidden[:, 0].astype(np.float32)
+            norms = np.linalg.norm(cls_vecs, axis=-1, keepdims=True)
+            dense = cls_vecs / np.maximum(norms, 1e-12)
         for i, r in enumerate(scheduler_output.scheduled_requests):
             outputs.append(EmbeddingRequestOutput(
                 request_id=r.request_id, finished=True, embedding=dense[i],

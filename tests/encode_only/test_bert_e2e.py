@@ -8,6 +8,10 @@ import pytest
 
 from tests.conftest import make_tiny_bert_config
 
+# Bare "BertModel" architectures route to the retriever task (real
+# checkpoint behavior); raw hidden states need the workflow override.
+ENCODE_WF = "light_vllm_tpu.encode_only.workflow:EncodeOnlyWorkflow"
+
 
 @pytest.fixture(scope="module")
 def tiny_bert():
@@ -29,7 +33,8 @@ def test_bert_hidden_states_match_hf(tiny_bert):
     from light_vllm_tpu import LLM
 
     state_dict = hf_model.state_dict()
-    llm = LLM(hf_config=make_tiny_bert_config(),
+    llm = LLM(workflow=ENCODE_WF,
+              hf_config=make_tiny_bert_config(),
               state_dict=state_dict,
               dtype="float32",
               max_model_len=64,
@@ -61,7 +66,8 @@ def test_bert_batching_matches_single(tiny_bert):
     cfg, hf_model = tiny_bert
     from light_vllm_tpu import LLM
 
-    llm = LLM(hf_config=make_tiny_bert_config(),
+    llm = LLM(workflow=ENCODE_WF,
+              hf_config=make_tiny_bert_config(),
               state_dict=hf_model.state_dict(),
               dtype="float32", max_model_len=64, max_num_requests=8)
 
@@ -85,7 +91,8 @@ def test_bert_pallas_backend_matches_hf(tiny_bert, monkeypatch):
     cfg, hf_model = tiny_bert
     from light_vllm_tpu import LLM
 
-    llm = LLM(hf_config=make_tiny_bert_config(),
+    llm = LLM(workflow=ENCODE_WF,
+              hf_config=make_tiny_bert_config(),
               state_dict=hf_model.state_dict(), dtype="float32",
               max_model_len=64, max_num_requests=4)
     rng = np.random.default_rng(1)
@@ -101,3 +108,27 @@ def test_bert_pallas_backend_matches_hf(tiny_bert, monkeypatch):
             ).last_hidden_state[0].numpy()
         np.testing.assert_allclose(np.asarray(out.embedding, np.float32),
                                    hf_hidden, rtol=2e-2, atol=2e-2)
+
+
+def test_over_length_prompt_returns_none_embedding(tiny_bert):
+    """An over-max_model_len prompt is ignored, not crashed on — and even
+    an ignored-ONLY batch emits a finished output with embedding=None
+    (improves on reference prefill_only/schema/engine_io.py:36-37, which
+    silently drops such a batch)."""
+    cfg, hf_model = tiny_bert
+    from light_vllm_tpu import LLM
+
+    llm = LLM(workflow=ENCODE_WF,
+              hf_config=make_tiny_bert_config(),
+              state_dict=hf_model.state_dict(),
+              dtype="float32", max_model_len=16, max_num_requests=4)
+    outs = llm.encode([{"prompt_token_ids": list(range(3, 60))}])
+    assert len(outs) == 1 and outs[0].finished
+    assert outs[0].embedding is None
+    # mixed batch: good one gets a vector, long one gets None
+    outs = llm.encode([{"prompt_token_ids": [5, 6, 7]},
+                       {"prompt_token_ids": list(range(3, 60))}])
+    by_id = {o.request_id: o for o in outs}
+    assert len(outs) == 2
+    embs = [o.embedding for o in outs]
+    assert sum(e is None for e in embs) == 1
