@@ -279,7 +279,7 @@ class LLMEngine:
             if (not sp.ignore_eos or sp.stop or sp.stop_token_ids
                     or sp.logprobs or sp.prompt_logprobs
                     or sp.logits_processors or sp.detokenize
-                    or sp.n != 1 or sp.min_tokens
+                    or sp.n != 1 or sp.best_of != 1 or sp.min_tokens
                     or sp.presence_penalty or sp.frequency_penalty
                     or sp.repetition_penalty != 1.0
                     or sp.max_tokens is None):

@@ -5,6 +5,7 @@ incremental detokenization, stop checking.
 processor/utils/single_step.py:15, processor/utils/stop_checker.py:8)
 """
 
+import copy
 from typing import List, Optional
 
 import numpy as np
@@ -82,14 +83,24 @@ class StopChecker:
 
 class DecodingOutputProcessor(OutputProcessor):
 
-    def __init__(self, tokenizer, max_model_len: int) -> None:
+    def __init__(self, tokenizer, max_model_len: int,
+                 scheduler=None, seq_counter=None) -> None:
         self.tokenizer = tokenizer
+        self.max_model_len = max_model_len
         self.stop_checker = StopChecker(max_model_len)
+        # Beam reselection forks/frees KV block tables and mints new seq
+        # ids (reference analog: the seq fork/free plumbing of
+        # decoding/scheduler.py fork_seq/free_seq).
+        self.scheduler = scheduler
+        self.seq_counter = seq_counter
 
     @classmethod
     def from_engine(cls, engine) -> "DecodingOutputProcessor":
         return cls(engine.tokenizer,
-                   engine.engine_config.model_config.max_model_len)
+                   engine.engine_config.model_config.max_model_len,
+                   scheduler=engine.scheduler,
+                   seq_counter=getattr(engine.request_processor,
+                                       "seq_counter", None))
 
     def __call__(self, scheduler_output: DecodingSchedulerOutput,
                  execute_output: DecodingExecuteOutput
@@ -118,6 +129,11 @@ class DecodingOutputProcessor(OutputProcessor):
                         and execute_output.plp_chosen is not None):
                     self._process_prompt_logprobs(g, meta, chunks[0],
                                                   starts[0], execute_output)
+                if meta.sampling_params.use_beam_search:
+                    self._process_beam_group(g, meta, slots, chunks,
+                                             topk_lp, topk_ids)
+                    outputs.append(self._to_request_output(g))
+                    continue
                 for seq_id, slot, chunk in zip(meta.seq_data, slots, chunks):
                     seq = g.seqs_dict[seq_id]
                     for step_idx, (tokens_t, lp_t) in enumerate(sub_steps):
@@ -207,6 +223,199 @@ class DecodingOutputProcessor(OutputProcessor):
                         raw[t, 1, slot].view(np.float32))
             outputs.append(self._to_request_output(g))
         return outputs
+
+    # --- beam search --------------------------------------------------------
+    # HF BeamSearchScorer semantics (the reference carries the same scoring
+    # vestigially at decoding/schema/sequence.py:350 get_beam_search_score):
+    # each step every live beam contributes its top-2W (token, logprob)
+    # candidates; the global top-2W are scanned in score order — EOS
+    # candidates ranked < W become finished hypotheses, others fill the W
+    # live-beam slots. Hypothesis score = cum_logprob / len^length_penalty
+    # (len excludes the trailing EOS). The device side needs no beam
+    # support at all: the step already returns top-k log-softmax rows, and
+    # reparenting rides the block manager's CoW fork.
+
+    @staticmethod
+    def _beam_score(seq: Sequence, length_penalty: float) -> float:
+        ln = seq.get_len()
+        if (seq.eos_token_id is not None and ln
+                and seq.get_last_token_id() == seq.eos_token_id):
+            ln -= 1
+        return seq.data.cumulative_logprob / max(ln, 1) ** length_penalty
+
+    def _beam_hyps(self, g) -> List[Sequence]:
+        if not hasattr(g, "beam_hyps"):
+            g.beam_hyps = []
+        return g.beam_hyps
+
+    def _beam_add_hyp(self, g, hyp: Sequence, sp: SamplingParams) -> None:
+        """Add a finished hypothesis, evicting the worst beyond width W."""
+        hyps = self._beam_hyps(g)
+        hyps.append(hyp)
+        g.add_seq(hyp)
+        if len(hyps) > sp.best_of:
+            hyps.sort(key=lambda s: -self._beam_score(s, sp.length_penalty))
+            worst = hyps.pop()
+            g.remove_seq(worst.seq_id)
+
+    def _beam_done(self, g, sp: SamplingParams, best_cum: float,
+                   cur_len: int, prompt_len: int) -> bool:
+        hyps = self._beam_hyps(g)
+        if len(hyps) < sp.best_of:
+            return False
+        if sp.early_stopping is True:
+            return True
+        lp = sp.length_penalty
+        worst = min(self._beam_score(s, lp) for s in hyps)
+        if sp.early_stopping == "never" and lp > 0.0:
+            max_len = min(prompt_len + (sp.max_tokens or self.max_model_len),
+                          self.max_model_len)
+            return worst >= best_cum / max_len ** lp
+        return worst >= best_cum / cur_len ** lp
+
+    def _beam_fork(self, parent: Sequence, with_blocks: bool) -> Sequence:
+        child = parent.fork(next(self.seq_counter))
+        if with_blocks:
+            self.scheduler.block_manager.fork(parent, child)
+        return child
+
+    def _process_beam_group(self, g, meta, slots, chunks,
+                            topk_lp, topk_ids) -> None:
+        sp = meta.sampling_params
+        W = sp.best_of
+        running = [g.seqs_dict[sid] for sid in meta.seq_data]
+        for seq, chunk in zip(running, chunks):
+            seq.data.update_num_computed_tokens(chunk)
+        if not meta.do_sample:
+            return  # non-final prefill chunk
+        assert topk_lp is not None and topk_ids is not None, \
+            "beam groups must run in a step compiled with num_logprobs>=2W"
+        g.metrics.on_token()
+        eos = meta.eos_token_id if not sp.ignore_eos else None
+        bm = self.scheduler.block_manager
+
+        first = running[0].get_output_len() == 0
+        if first:
+            # Prefill just sampled: only the lead sequence is scheduled;
+            # its distribution seeds every beam (HF: beam_scores
+            # initialized [0, -inf, ...] — only beam 0 contributes).
+            beams = [s for s in g.get_seqs() if not s.is_finished()]
+            parents = [running[0]]
+            parent_slots = [slots[0]]
+        else:
+            beams = running
+            parents = running
+            parent_slots = list(slots)
+
+        L = parents[0].get_len()  # pre-append length (equal across beams)
+        cands = []  # (joint cum logprob, token, parent index)
+        for i, (seq, slot) in enumerate(zip(parents, parent_slots)):
+            base = seq.data.cumulative_logprob
+            for t, lp in zip(topk_ids[slot][:2 * W], topk_lp[slot][:2 * W]):
+                cands.append((base + float(lp), int(t), i))
+        cands.sort(key=lambda c: -c[0])
+        cands = cands[:2 * W]
+
+        selected = []  # (parent index, token, joint cum logprob)
+        for rank, (score, tok, pi) in enumerate(cands):
+            if eos is not None and tok == eos:
+                if rank >= W:
+                    continue
+                # Finished hypothesis: data-only fork (no KV needed again),
+                # EOS appended so outputs carry it (HF finalize appends
+                # eos_token_id after each hypothesis too).
+                hyp = self._beam_fork(parents[pi], with_blocks=False)
+                hyp.append_token_id(
+                    tok, score - parents[pi].data.cumulative_logprob)
+                hyp.data.update_num_computed_tokens(
+                    hyp.data.get_num_uncomputed_tokens())
+                self._detokenize(hyp, sp)
+                hyp.status = SequenceStatus.FINISHED_STOPPED
+                self._beam_add_hyp(g, hyp, sp)
+            elif len(selected) < W:
+                selected.append((pi, tok, score))
+
+        done = self._beam_done(g, sp, cands[0][0] if cands else -np.inf,
+                               L + 1, len(g.prompt_token_ids))
+        if done:
+            # HF is_done: current live beams are NOT added as hypotheses.
+            self._beam_finalize(g, sp, beams, add_running=False)
+            return
+
+        # --- apply reselection: reuse each parent once, fork extras ------
+        # All forks/copies happen BEFORE any append so children carry the
+        # parents' pre-append state.
+        new_beams = []  # (seq, token, joint score, parent slot)
+        assigned = set()
+        spare = [b for b in beams if b not in parents] if first else []
+        for pi, tok, score in selected:
+            parent = parents[pi]
+            if pi not in assigned:
+                assigned.add(pi)  # first use: advance the parent in place
+                seq = parent
+            elif spare:
+                # First step: reuse a pre-allocated sibling slot (it
+                # already shares the prompt's physical blocks).
+                seq = spare.pop()
+                seq.data = copy.deepcopy(parent.data)
+                seq.output_text = parent.output_text
+                seq.tokens = list(parent.tokens) if parent.tokens else None
+                seq.prefix_offset = parent.prefix_offset
+                seq.read_offset = parent.read_offset
+                seq.logprobs = list(parent.logprobs)
+            else:
+                seq = self._beam_fork(parent, with_blocks=True)
+                g.add_seq(seq)
+            new_beams.append((seq, tok, score, parent_slots[pi]))
+        # drop live beams that were not selected (and unused spare slots)
+        keep_ids = {s.seq_id for s, _, _, _ in new_beams}
+        for b in beams:
+            if b.seq_id not in keep_ids and not b.is_finished():
+                bm.free(b)
+                g.remove_seq(b.seq_id)
+        # append the chosen tokens
+        for seq, tok, score, slot in new_beams:
+            lp_tok = score - seq.data.cumulative_logprob
+            seq.append_token_id(tok, lp_tok)
+            if sp.logprobs:
+                k = sp.logprobs
+                d = {int(t): float(p) for t, p in
+                     zip(topk_ids[slot][:k], topk_lp[slot][:k])}
+                d.setdefault(tok, lp_tok)
+                seq.logprobs.append(d)
+            self._detokenize(seq, sp)
+
+        # length bound: finalize with live beams added (HF finalize path)
+        out_len = new_beams[0][0].get_output_len() if new_beams else 0
+        new_len = new_beams[0][0].get_len() if new_beams else L + 1
+        if (sp.max_tokens is not None and out_len >= sp.max_tokens) \
+                or new_len >= self.max_model_len:
+            self._beam_finalize(g, sp, [s for s, _, _, _ in new_beams],
+                                add_running=True)
+
+    def _beam_finalize(self, g, sp: SamplingParams,
+                       live: List[Sequence], add_running: bool) -> None:
+        """End the search: optionally promote live beams to hypotheses
+        (HF finalize), keep the top-n by score, drop everything else."""
+        bm = self.scheduler.block_manager
+        hyps = self._beam_hyps(g)
+        if add_running:
+            for b in live:
+                b.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+                hyps.append(b)
+        else:
+            for b in live:
+                bm.free(b)
+                g.remove_seq(b.seq_id)
+        hyps.sort(key=lambda s: -self._beam_score(s, sp.length_penalty))
+        for s in hyps[sp.n:]:
+            bm.free(s)
+            g.remove_seq(s.seq_id)
+        del hyps[sp.n:]
+        # order the group's seqs best-first for output
+        g.seqs = [s for s in hyps]
+        g.seqs_dict = {s.seq_id: s for s in g.seqs}
+        g.beam_done = True
 
     def _process_prompt_logprobs(self, g, meta, chunk: int, start: int,
                                  execute_output) -> None:
@@ -320,8 +529,21 @@ class DecodingOutputProcessor(OutputProcessor):
         return delta
 
     def _to_request_output(self, g) -> RequestOutput:
+        sp = g.sampling_params
+        seqs = g.get_seqs()
+        if len(seqs) > 1:
+            if sp.use_beam_search:
+                seqs = sorted(seqs, key=lambda s: -self._beam_score(
+                    s, sp.length_penalty))[:sp.n]
+            elif sp.best_of > sp.n:
+                # best_of parallel samples, top-n by cumulative logprob
+                # (reference: decoding/schema/engine_io.py:159-171
+                # from_seq_group top-n selection).
+                seqs = sorted(
+                    seqs,
+                    key=lambda s: -s.data.cumulative_logprob)[:sp.n]
         completions = []
-        for i, seq in enumerate(g.get_seqs()):
+        for i, seq in enumerate(seqs):
             completions.append(CompletionOutput(
                 index=i,
                 text=seq.output_text,

@@ -125,23 +125,23 @@ class DecodingRequestProcessor(RequestProcessor):
         if not inputs.prompt_token_ids:
             inputs.prompt_token_ids = self.tokenizer.encode(inputs.prompt)
         params = request.params or SamplingParams()
-        if params.best_of != params.n:
-            raise NotImplementedError("best_of != n is not supported")
         if params.truncate_prompt_tokens is not None:
             # Keep only the LAST k prompt tokens (reference:
             # backends/sampling_params.py truncate_prompt_tokens doc).
             inputs.prompt_token_ids = \
                 inputs.prompt_token_ids[-params.truncate_prompt_tokens:]
         eos = self.tokenizer.eos_token_id
-        # n > 1: n sibling sequences share the prompt's physical blocks; the
-        # scheduler prefills the prompt once (siblings start with all but
-        # the last position computed) and CoW splits them as they diverge
+        # best_of (>= n) sibling sequences share the prompt's physical
+        # blocks; the scheduler prefills the prompt once (siblings start
+        # with all but the last position computed) and CoW splits them as
+        # they diverge. For beam search best_of is the beam width
         # (reference: fork/append semantics, decoding/scheduler.py +
-        # block_manager_v1.py).
+        # block_manager_v1.py; best_of semantics,
+        # backends/sampling_params.py:285-297).
         seqs = [Sequence(next(self.seq_counter), inputs.prompt_token_ids,
                          self.block_size, eos_token_id=eos,
                          prompt=inputs.prompt)
-                for _ in range(params.n)]
+                for _ in range(params.best_of)]
         return SequenceGroup(request_id=request.request_id, seqs=seqs,
                              sampling_params=params,
                              arrival_time=request.arrival_time,
@@ -399,8 +399,18 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         (seq_f32, top_k_arr, seeds, out_tokens, prompt_tokens, use_penalties,
          use_topkp, all_greedy, ban_tokens, ban_active) = \
             self._build_sampling(all_rows, S)
+        def _required_logprobs(sp) -> int:
+            k = sp.logprobs or 0
+            if sp.use_beam_search:
+                # HF-style expansion needs the top 2*width candidates per
+                # beam (the union of per-beam top-2W covers the global
+                # top-2W of the flattened [W, V] scores).
+                k = max(k, 2 * sp.best_of)
+            return k
+
         num_logprobs = max(
-            [r["meta"].sampling_params.logprobs or 0 for r in all_rows] + [0])
+            [_required_logprobs(r["meta"].sampling_params)
+             for r in all_rows] + [0])
 
         tok_i32 = np.stack([input_ids, pos_arr, slot_arr, seq_ids])
         seq_i32 = np.stack([seq_lens, ctx_lens, chunk_starts, chunk_lens,

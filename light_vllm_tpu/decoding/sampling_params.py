@@ -54,6 +54,18 @@ class SamplingParams(Params):
     # rows' raw logits and the host applies processors + penalties +
     # sampling for them (slow path; device result for the row is ignored).
     logits_processors: Optional[List[LogitsProcessorFn]] = None
+    # Beam search (reference: the vestigial use_beam_search /
+    # get_beam_search_score carried at decoding/schema/sequence.py:350 and
+    # BeamSearchParams at backends/sampling_params.py:487; semantics follow
+    # HF's BeamSearchScorer so num_beams parity is testable). best_of is
+    # the beam width; the top `n` hypotheses by length-penalized score are
+    # returned. Requires greedy settings (temperature 0, no top-k/p, no
+    # penalties): beams expand from exact log-softmax scores.
+    use_beam_search: bool = False
+    length_penalty: float = 1.0
+    # False = HF heuristic bound; True = stop as soon as best_of
+    # hypotheses exist; "never" = only the length bound ends the search.
+    early_stopping: Union[bool, str] = False
     # Keep only the LAST k prompt tokens (reference:
     # backends/sampling_params.py:201 truncate_prompt_tokens).
     truncate_prompt_tokens: Optional[int] = None
@@ -125,6 +137,25 @@ class SamplingParams(Params):
         if self.truncate_prompt_tokens is not None \
                 and self.truncate_prompt_tokens < 1:
             raise ValueError("truncate_prompt_tokens must be >= 1")
+        if self.use_beam_search:
+            if self.best_of < 1:
+                raise ValueError("beam width (best_of) must be >= 1")
+            if self.temperature > _SAMPLING_EPS or self.top_p < 1.0 \
+                    or self.top_k != -1 or self.min_p > 0.0:
+                raise ValueError(
+                    "beam search requires greedy settings: temperature=0, "
+                    "top_p=1, top_k=-1, min_p=0")
+            if (self.presence_penalty or self.frequency_penalty
+                    or self.repetition_penalty != 1.0 or self.min_tokens
+                    or self.logits_processors):
+                raise ValueError(
+                    "beam search does not compose with penalties, "
+                    "min_tokens or logits_processors")
+            if self.early_stopping not in (True, False, "never"):
+                raise ValueError(
+                    "early_stopping must be True, False or 'never'")
+            if self.max_tokens is None:
+                raise ValueError("beam search requires max_tokens")
 
     @property
     def sampling_type(self) -> SamplingType:

@@ -359,6 +359,8 @@ class DecodingScheduler(Scheduler):
         if self.num_scheduler_steps <= 1:
             return 1
         sp = seq_group.sampling_params
+        if sp.use_beam_search:
+            return 1  # beam reselection is per-token host work
         if (sp.presence_penalty != 0 or sp.frequency_penalty != 0
                 or sp.repetition_penalty != 1.0 or sp.logprobs
                 or sp.stop or sp.min_tokens > 0 or sp.logits_processors):
