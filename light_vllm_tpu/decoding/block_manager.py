@@ -16,7 +16,7 @@ batch rows point at it), so allocators hand out ids starting at 1.
 """
 
 import enum
-from collections import OrderedDict
+import heapq
 from typing import Dict, List, Optional, Set, Tuple
 
 from light_vllm_tpu.decoding.schema import Sequence, SequenceGroup, \
@@ -36,11 +36,16 @@ class AllocStatus(enum.Enum):
 
 class LRUEvictor:
     """Tracks evictable (refcount-0) cached blocks in LRU order with
-    num-hashed-tokens tiebreak (reference: evictor_v1.py:53)."""
+    num-hashed-tokens tiebreak (reference: evictor_v1.py:53; ordered like
+    evictor_v2's structures). O(log n) via a lazy-deletion heap: remove()
+    just drops the table entry, evict() pops stale heap entries until a
+    live one surfaces — the same policy the C++ runtime's std::map evictor
+    implements (csrc/host_runtime.cpp:44)."""
 
     def __init__(self) -> None:
-        self.free_table: "OrderedDict[BlockId, Tuple[int, int]]" = \
-            OrderedDict()  # block_id -> (last_accessed, num_hashed_tokens)
+        self.free_table: Dict[BlockId, Tuple[int, int]] = \
+            {}  # block_id -> (last_accessed, num_hashed_tokens)
+        self._heap: List[Tuple[int, int, BlockId]] = []
 
     def __contains__(self, block_id: BlockId) -> bool:
         return block_id in self.free_table
@@ -51,26 +56,22 @@ class LRUEvictor:
 
     def add(self, block_id: BlockId, last_accessed: int,
             num_hashed_tokens: int) -> None:
+        # Oldest access evicts first; among ties the most hashed tokens
+        # (longest chains die first, matching the reference policy).
         self.free_table[block_id] = (last_accessed, num_hashed_tokens)
+        heapq.heappush(self._heap,
+                       (last_accessed, -num_hashed_tokens, block_id))
 
     def remove(self, block_id: BlockId) -> None:
-        del self.free_table[block_id]
+        del self.free_table[block_id]  # heap entry invalidated lazily
 
     def evict(self) -> BlockId:
-        if not self.free_table:
-            raise RuntimeError("no evictable blocks")
-        # Oldest access first; among ties prefer most hashed tokens
-        # (longest chains die first, matching the reference policy).
-        best_id, best_key = None, None
-        oldest = min(v[0] for v in self.free_table.values())
-        for bid, (ts, nh) in self.free_table.items():
-            if ts != oldest:
-                continue
-            key = -nh
-            if best_key is None or key < best_key:
-                best_id, best_key = bid, key
-        del self.free_table[best_id]
-        return best_id
+        while self._heap:
+            ts, neg_nh, bid = heapq.heappop(self._heap)
+            if self.free_table.get(bid) == (ts, -neg_nh):
+                del self.free_table[bid]
+                return bid
+        raise RuntimeError("no evictable blocks")
 
 
 class NaiveBlockAllocator:

@@ -47,7 +47,29 @@ class MixtralDecoderLayer(LlamaDecoderLayer):
         return x, kv_cache
 
     def encode_call(self, p, x, positions, mask, causal):
-        raise NotImplementedError("Mixtral embedder mode not wired yet")
+        """Dense [B, L, H] forward without KV cache (embedder mode) — the
+        Llama embedder path with the MLP swapped for MoE (reference analog:
+        the decode_only last-hidden workflow over any causal LM)."""
+        from light_vllm_tpu.models.llama import dense_attention
+
+        B, L, H = x.shape
+        residual = x
+        x = self.input_ln(p["input_ln"], x)
+        qkv = self.qkv(p["qkv"], x.reshape(B * L, H))
+        q, k, v = self.qkv.split_qkv(qkv)
+        q, k = self.rope(positions.reshape(-1), q, k)
+        q = q.reshape(B, L, self.num_heads, self.head_dim)
+        k = k.reshape(B, L, self.num_kv_heads, self.head_dim)
+        v = v.reshape(B, L, self.num_kv_heads, self.head_dim)
+        attn = dense_attention(q, k, v, mask.astype(bool), causal=causal,
+                               scale=self.head_dim ** -0.5)
+        attn = attn.reshape(B, L, self.num_heads * self.head_dim)
+        x = residual + self.o(p["o"], attn)
+        residual = x
+        x = self.post_attn_ln(p["post_attn_ln"], x)
+        x = residual + self.moe(p["moe"], x.reshape(B * L, H)).reshape(
+            B, L, H)
+        return x
 
 
 class MixtralForCausalLM(LlamaForCausalLM):
