@@ -180,6 +180,134 @@ class DecodingModelInputBuilder(ModelInputBuilder):
     def __call__(self, scheduler_output: DecodingSchedulerOutput
                  ) -> ExecuteInput:
         metas = scheduler_output.seq_group_metadata_list
+        dp = getattr(scheduler_output, "dp_size", 1)
+        if dp > 1:
+            return self._call_dp(scheduler_output, dp)
+        model_input, info = self._build_one(metas,
+                                            scheduler_output.multi_step)
+        scheduler_output.sample_slots = info["sample_slots"]
+        scheduler_output.sample_chunks = info["sample_chunks"]
+        scheduler_output.sample_starts = info["sample_starts"]
+        if info["lp_slot_map"]:
+            scheduler_output.lp_slot_map = info["lp_slot_map"]
+        scheduler_output.padded_tokens = info["padded_tokens"]
+        worker_input = DecodingWorkerInput(
+            blocks_to_swap_in=scheduler_output.blocks_to_swap_in,
+            blocks_to_swap_out=scheduler_output.blocks_to_swap_out,
+            blocks_to_copy=scheduler_output.blocks_to_copy)
+        return ExecuteInput(worker_input=worker_input,
+                            model_input=model_input)
+
+    def _call_dp(self, scheduler_output: DecodingSchedulerOutput,
+                 dp: int) -> ExecuteInput:
+        """In-engine data parallelism: one sub-blob per dp partition, all
+        built against the SAME executable spec (pass 1 builds each
+        partition, pass 2 rebuilds any whose spec missed the merged
+        maximum), stacked to a [dp, L] blob the runner shard_maps over the
+        mesh "dp" axis. Host-visible indices (sample slots, chunk starts,
+        logits-processor rows) are globalized with per-partition offsets
+        (reference contract being matched: linear DP scaling with zero
+        cross-worker state, prefill_only/executor/
+        gpu_data_parallelism_executor.py:17-81)."""
+        metas = scheduler_output.seq_group_metadata_list
+        scheds = scheduler_output.scheduled_seq_groups
+        part_idx: List[List[int]] = [[] for _ in range(dp)]
+        for i, sched in enumerate(scheds):
+            part_idx[sched.seq_group.dp_rank].append(i)
+        part_metas = [[metas[i] for i in idx] for idx in part_idx]
+        ms = scheduler_output.multi_step
+        built = [self._build_one(pm, ms) for pm in part_metas]
+
+        def spec_of(mi: DecodingModelInput):
+            # num_prefill_seqs is deliberately absent: partitions may
+            # genuinely differ there (the blob layout doesn't depend on
+            # it; the merged executable is compiled with the max).
+            return (mi.T, mi.S, mi.NT, mi.max_out, mi.prompt_len,
+                    mi.ban_len, mi.has_plp, mi.plp_k, mi.lp_width,
+                    mi.num_logprobs, mi.use_penalties, mi.use_topkp,
+                    mi.all_greedy, mi.has_prompt_tokens, mi.decode_region)
+
+        # Floors-to-fixpoint: a rebuild with merged floors can itself grow
+        # a partition's spec (e.g. gaining a decode region pushes the
+        # prefill cursor into the next token bucket), so iterate — every
+        # field is monotonically non-decreasing and bucketed, so this
+        # converges in a couple of rounds.
+        for _ in range(4):
+            if len({spec_of(mi) for mi, _ in built}) == 1:
+                break
+            floors = dict(
+                any_prefill=any(mi.num_prefill_seqs for mi, _ in built),
+                any_decode=any(mi.decode_region for mi, _ in built),
+                T=max(mi.T for mi, _ in built),
+                S=max(mi.S for mi, _ in built),
+                max_out=max(mi.max_out for mi, _ in built),
+                prompt_len=max(mi.prompt_len for mi, _ in built),
+                ban_len=max(mi.ban_len for mi, _ in built),
+                has_plp=any(mi.has_plp for mi, _ in built),
+                plp_k=max(mi.plp_k for mi, _ in built),
+                lp_width=max(mi.lp_width for mi, _ in built),
+                num_logprobs=max(mi.num_logprobs for mi, _ in built),
+                use_penalties=any(mi.use_penalties for mi, _ in built),
+                use_topkp=any(mi.use_topkp for mi, _ in built),
+                force_sampled=not all(mi.all_greedy for mi, _ in built),
+            )
+            built = [self._build_one(pm, ms, floors=floors)
+                     for pm in part_metas]
+        specs = {spec_of(mi) for mi, _ in built}
+        assert len(specs) == 1, specs
+
+        mi0 = built[0][0]
+        blob = np.stack([mi.blob for mi, _ in built])
+        merged = DecodingModelInput(
+            blob=blob, T=mi0.T, S=mi0.S, NT=mi0.NT, P=mi0.P,
+            max_out=mi0.max_out, has_prompt_tokens=mi0.has_prompt_tokens,
+            prompt_len=mi0.prompt_len,
+            num_seqs=sum(mi.num_seqs for mi, _ in built),
+            num_decode_tokens=sum(mi.num_decode_tokens
+                                  for mi, _ in built),
+            decode_region=mi0.decode_region,
+            num_prefill_seqs=max(mi.num_prefill_seqs for mi, _ in built),
+            num_logprobs=mi0.num_logprobs,
+            use_penalties=mi0.use_penalties, use_topkp=mi0.use_topkp,
+            all_greedy=mi0.all_greedy, ban_len=mi0.ban_len,
+            has_plp=mi0.has_plp, plp_k=mi0.plp_k, lp_width=mi0.lp_width,
+            multi_step=min((mi.multi_step for mi, _ in built
+                            if mi.num_seqs), default=1))
+
+        # Scatter per-partition info back to global meta order with
+        # partition offsets (slot += p*S, token starts += p*T,
+        # logits-processor rows += p*lp_width).
+        n = len(metas)
+        slots: List[Optional[list]] = [None] * n
+        chunks: List[Optional[list]] = [None] * n
+        starts: List[Optional[list]] = [None] * n
+        lp_map = {}
+        for p, ((mi, info), idx) in enumerate(zip(built, part_idx)):
+            so, to = p * mi0.S, p * mi0.T
+            for j, gi in enumerate(idx):
+                slots[gi] = [s + so for s in info["sample_slots"][j]]
+                chunks[gi] = info["sample_chunks"][j]
+                starts[gi] = [s + to for s in info["sample_starts"][j]]
+            for slot, row in info["lp_slot_map"].items():
+                lp_map[slot + so] = row + p * mi0.lp_width
+        scheduler_output.sample_slots = slots
+        scheduler_output.sample_chunks = chunks
+        scheduler_output.sample_starts = starts
+        if lp_map:
+            scheduler_output.lp_slot_map = lp_map
+        scheduler_output.padded_tokens = dp * mi0.T
+        worker_input = DecodingWorkerInput(
+            blocks_to_swap_in=scheduler_output.blocks_to_swap_in,
+            blocks_to_swap_out=scheduler_output.blocks_to_swap_out,
+            blocks_to_copy=scheduler_output.blocks_to_copy)
+        return ExecuteInput(worker_input=worker_input, model_input=merged)
+
+    def _build_one(self, metas, multi_step: int, floors: Optional[dict]
+                   = None):
+        """Build one partition's blob + model input. `floors` (dp mode)
+        forces every executable-spec dimension up to the merged
+        cross-partition value so all partitions share one compiled step."""
+        f = floors or {}
 
         # Pass 1: collect rows, decodes first then prefills (layout
         # contract documented on DecodingModelInput).
@@ -209,6 +337,11 @@ class DecodingModelInputBuilder(ModelInputBuilder):
 
         D_real = len(decode_rows)
         n_prefill = len(prefill_rows)
+        # dp floors: the step KIND (pure prefill / mixed / pure decode)
+        # must match across partitions — a partition without its own
+        # prefills/decodes still compiles the merged kind's regions.
+        kind_prefill = bool(n_prefill or f.get("any_prefill"))
+        kind_decode = bool(D_real or f.get("any_decode"))
         TQ = self.TILE_Q
         if self.static_shapes:
             # Fixed regions per step KIND (pure prefill / mixed / pure
@@ -217,13 +350,14 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             # never discover new (T, S) shapes mid-run. Decode rows are
             # weight-bandwidth-bound, so padding the decode region to the
             # max_num_seqs cap is nearly free.
-            if n_prefill:
+            if kind_prefill:
                 decode_region = cdiv(self.max_num_seqs, TQ) * TQ \
-                    if D_real else 0
+                    if kind_decode else 0
             else:
                 decode_region = pick_seq_bucket(self.max_num_seqs)
-        elif n_prefill:
-            decode_region = cdiv(max(D_real, 1), TQ) * TQ if D_real else 0
+        elif kind_prefill:
+            decode_region = cdiv(max(D_real, 1), TQ) * TQ \
+                if kind_decode else 0
         else:
             decode_region = pick_seq_bucket(max(D_real, 1))
 
@@ -239,7 +373,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             for t in range(cdiv(row["query_len"], TQ)):
                 tiles.append((row["slot"], cursor + t * TQ))
             cursor += cdiv(row["query_len"], TQ) * TQ
-        if n_prefill:
+        if kind_prefill:
             T = max(pick_token_bucket(max(cursor, 1)), decode_region)
             if self.static_shapes and self.max_num_batched_tokens:
                 # Pad up to the scheduler budget's bucket: steady-state and
@@ -252,15 +386,17 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             # Pure decode: one token per row — T is exactly the (bucketed)
             # decode region so the multi-step T == S eligibility holds.
             T = decode_region
-        S_real = decode_region + n_prefill if n_prefill else D_real
+        T = max(T, f.get("T", 0))
+        S_real = decode_region + n_prefill if kind_prefill else D_real
         # The decode kernel runs over rows [0, decode_region): the seq-slot
         # arrays must cover that range or the kernel reads junk block ids.
         S = max(pick_seq_bucket(max(S_real, 1)), decode_region)
-        if self.static_shapes and n_prefill:
+        if self.static_shapes and kind_prefill:
             # Prefill slots live at [decode_region, decode_region +
             # n_prefill); fix S at the worst case so slot-count ramps don't
             # mint new executables.
             S = max(S, pick_seq_bucket(decode_region + self.max_num_seqs))
+        S = max(S, f.get("S", 0))
 
         input_ids = np.zeros(T, dtype=np.int32)
         pos_arr = np.zeros(T, dtype=np.int32)
@@ -340,7 +476,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         # NT is tied to T (the max tiles T tokens can produce) so the tile
         # count never adds an executable dimension; padded tiles carry
         # seq = -1 and the prefill kernel skips them.
-        NT = max(T // TQ, 1) if n_prefill else 1
+        NT = max(T // TQ, 1) if kind_prefill else 1
         tile_seq = np.full(NT, -1, dtype=np.int32)
         tile_qstart = np.zeros(NT, dtype=np.int32)
         for i, (s, qs) in enumerate(tiles):
@@ -348,15 +484,18 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             tile_qstart[i] = qs
 
         # slot + chunk maps for the output processor, in meta iteration order
-        scheduler_output.sample_slots = [
-            [row["slot"] for row in refs] for refs in meta_row_refs]
-        scheduler_output.sample_chunks = [
-            [row["query_len"] for row in refs] for refs in meta_row_refs]
-        scheduler_output.sample_starts = [
-            [row["chunk_start"] for row in refs] for refs in meta_row_refs]
-        # Padding-occupancy metric: the executable computes T token rows
-        # for this many real ones (StatsLogger reports the ratio).
-        scheduler_output.padded_tokens = T
+        info = {
+            "sample_slots": [[row["slot"] for row in refs]
+                             for refs in meta_row_refs],
+            "sample_chunks": [[row["query_len"] for row in refs]
+                              for refs in meta_row_refs],
+            "sample_starts": [[row["chunk_start"] for row in refs]
+                              for refs in meta_row_refs],
+            "lp_slot_map": {},
+            # Padding-occupancy metric: the executable computes T token
+            # rows for this many real ones (StatsLogger reports the ratio).
+            "padded_tokens": T,
+        }
 
         # prompt_logprobs: target-id row per prefill token (the NEXT prompt
         # token; -1 = no target). The step computes, chunked over T, the
@@ -367,8 +506,9 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         plp_params = [r["meta"].sampling_params for r in prefill_rows
                       if r["meta"].sampling_params.prompt_logprobs
                       is not None]
-        has_plp = bool(plp_params)
-        plp_k = max([sp.prompt_logprobs for sp in plp_params] + [0])
+        has_plp = bool(plp_params) or bool(f.get("has_plp"))
+        plp_k = max([sp.prompt_logprobs for sp in plp_params]
+                    + [0, f.get("plp_k", 0)])
         plp_targets = None
         if has_plp:
             plp_targets = np.full(T, -1, dtype=np.int32)
@@ -388,17 +528,18 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         lp_rows = [r for r in all_rows
                    if r["meta"].sampling_params.logits_processors]
         lp_width = next_power_of_2(len(lp_rows)) if lp_rows else 0
+        lp_width = max(lp_width, f.get("lp_width", 0))
         lp_idx = None
-        if lp_rows:
+        if lp_width:
             lp_idx = np.zeros(lp_width, dtype=np.int32)
             for j, r in enumerate(lp_rows):
                 lp_idx[j] = r["slot"]
-            scheduler_output.lp_slot_map = {
+            info["lp_slot_map"] = {
                 r["slot"]: j for j, r in enumerate(lp_rows)}
 
         (seq_f32, top_k_arr, seeds, out_tokens, prompt_tokens, use_penalties,
          use_topkp, all_greedy, ban_tokens, ban_active) = \
-            self._build_sampling(all_rows, S)
+            self._build_sampling(all_rows, S, f)
         def _required_logprobs(sp) -> int:
             k = sp.logprobs or 0
             if sp.use_beam_search:
@@ -410,7 +551,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
 
         num_logprobs = max(
             [_required_logprobs(r["meta"].sampling_params)
-             for r in all_rows] + [0])
+             for r in all_rows] + [0, f.get("num_logprobs", 0)])
 
         tok_i32 = np.stack([input_ids, pos_arr, slot_arr, seq_ids])
         seq_i32 = np.stack([seq_lens, ctx_lens, chunk_starts, chunk_lens,
@@ -447,15 +588,12 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             use_topkp=use_topkp, all_greedy=all_greedy,
             ban_len=0 if ban_tokens is None else ban_tokens.shape[1],
             has_plp=has_plp, plp_k=plp_k, lp_width=lp_width,
-            multi_step=scheduler_output.multi_step if n_prefill == 0 else 1)
-        worker_input = DecodingWorkerInput(
-            blocks_to_swap_in=scheduler_output.blocks_to_swap_in,
-            blocks_to_swap_out=scheduler_output.blocks_to_swap_out,
-            blocks_to_copy=scheduler_output.blocks_to_copy)
-        return ExecuteInput(worker_input=worker_input,
-                            model_input=model_input)
+            multi_step=multi_step if n_prefill == 0 else 1)
+        return model_input, info
 
-    def _build_sampling(self, seq_rows: List[dict], S: int):
+    def _build_sampling(self, seq_rows: List[dict], S: int,
+                        f: Optional[dict] = None):
+        f = f or {}
         temperature = np.zeros(S, dtype=np.float32)
         top_p = np.ones(S, dtype=np.float32)
         top_k = np.zeros(S, dtype=np.int32)
@@ -468,11 +606,11 @@ class DecodingModelInputBuilder(ModelInputBuilder):
             r["meta"].sampling_params.presence_penalty != 0
             or r["meta"].sampling_params.frequency_penalty != 0
             or r["meta"].sampling_params.repetition_penalty != 1.0
-            for r in seq_rows)
+            for r in seq_rows) or bool(f.get("use_penalties"))
         if needs_prompt:
             max_out = max([len(r["data"].output_token_ids)
                            for r in seq_rows] + [1])
-            max_out = next_power_of_2(max_out)
+            max_out = max(next_power_of_2(max_out), f.get("max_out", 1))
         else:
             # No penalties anywhere in the batch: keep the matrix a fixed
             # [S, 1] so output growth never changes the jit cache key.
@@ -483,6 +621,7 @@ class DecodingModelInputBuilder(ModelInputBuilder):
         if needs_prompt:
             max_in = next_power_of_2(max(
                 [len(r["data"].prompt_token_ids) for r in seq_rows] + [1]))
+            max_in = max(max_in, f.get("prompt_len", 1))
             prompt_tokens = np.full((S, max_in), self.vocab_size,
                                     dtype=np.int32)
         # min_tokens: rows still under min_tokens get their stop tokens
@@ -503,8 +642,11 @@ class DecodingModelInputBuilder(ModelInputBuilder):
                 ban_rows[row["slot"]] = ids
         ban_tokens = None
         ban_active = np.zeros(S, dtype=np.int32)
-        if ban_rows:
-            ban_w = next_power_of_2(max(len(v) for v in ban_rows.values()))
+        if ban_rows or f.get("ban_len"):
+            ban_w = max(
+                next_power_of_2(max([len(v) for v in ban_rows.values()]
+                                    + [1])),
+                f.get("ban_len", 1))
             ban_tokens = np.full((S, ban_w), -1, dtype=np.int32)
             for slot, ids in ban_rows.items():
                 ban_tokens[slot, :len(ids)] = ids
@@ -537,8 +679,9 @@ class DecodingModelInputBuilder(ModelInputBuilder):
                 prompt_tokens[i, :len(ins)] = ins[:prompt_tokens.shape[1]]
         use_penalties = needs_prompt
         use_topkp = bool(np.any(top_k > 0) or np.any(top_p < 1.0)
-                         or np.any(min_p > 0))
-        all_greedy = bool(np.all(temperature < 1e-5))
+                         or np.any(min_p > 0)) or bool(f.get("use_topkp"))
+        all_greedy = bool(np.all(temperature < 1e-5)) \
+            and not f.get("force_sampled")
         seq_f32 = np.stack([temperature, top_p, min_p, presence, frequency,
                             repetition])
         return (seq_f32, top_k, seeds, out_tokens, prompt_tokens,

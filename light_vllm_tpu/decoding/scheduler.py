@@ -142,6 +142,13 @@ class DecodingScheduler(Scheduler):
 
     @classmethod
     def from_engine(cls, engine) -> "DecodingScheduler":
+        worker = getattr(engine.executor, "worker", None)
+        if worker is not None and getattr(worker, "in_engine_dp", 1) > 1:
+            # In-engine DP: one sub-scheduler per dp partition, each
+            # owning a disjoint KV page shard (decoding/dp_scheduler.py).
+            from light_vllm_tpu.decoding.dp_scheduler import \
+                DataParallelDecodingScheduler
+            return DataParallelDecodingScheduler.from_engine(engine)
         return cls(engine.engine_config.scheduler_config,
                    engine.engine_config.cache_config,
                    engine.request_processor)

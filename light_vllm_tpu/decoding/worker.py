@@ -49,11 +49,16 @@ class CacheEngine:
 
     def __init__(self, backend, num_layers: int, num_device_blocks: int,
                  num_cpu_blocks: int, dtype, mesh=None,
-                 stacked: bool = False) -> None:
+                 stacked: bool = False, dp: int = 1) -> None:
         self.backend = backend
         self.num_layers = num_layers
+        # num_device_blocks / num_cpu_blocks are PER dp PARTITION; the
+        # physical arrays hold dp x that, with the page axis sharded over
+        # the mesh "dp" axis so each device group owns a contiguous,
+        # disjoint page range (in-engine data parallelism).
         self.num_device_blocks = num_device_blocks
         self.num_cpu_blocks = num_cpu_blocks
+        self.dp = dp
         self.block_size = backend.block_size
         self.mesh = mesh
         # stacked: one [L, slots, 2*kvh, d] array (scan-over-layers models)
@@ -63,18 +68,19 @@ class CacheEngine:
         cache_dtype = backend.cache_dtype or dtype
         self.cache_dtype = cache_dtype
 
-        layer_shape = backend.kv_cache_shape(num_device_blocks)
+        dpax = "dp" if dp > 1 else None
+        layer_shape = backend.kv_cache_shape(dp * num_device_blocks)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             if stacked:
-                sharding = NamedSharding(mesh, P(None, None, "tp", None))
+                sharding = NamedSharding(mesh, P(None, dpax, "tp", None))
                 alloc_jit = jax.jit(
                     lambda: jnp.zeros((num_layers,) + layer_shape,
                                       cache_dtype),
                     out_shardings=sharding)
             else:
-                sharding = NamedSharding(mesh, P(None, "tp", None))
+                sharding = NamedSharding(mesh, P(dpax, "tp", None))
                 alloc_jit = jax.jit(
                     lambda: [jnp.zeros(layer_shape, cache_dtype)
                              for _ in range(num_layers)],
@@ -84,13 +90,14 @@ class CacheEngine:
             self.kv_caches = jnp.zeros((num_layers,) + layer_shape,
                                        cache_dtype)
         else:
-            self.kv_caches = [backend.new_kv_cache(num_device_blocks, dtype)
-                              for _ in range(num_layers)]
+            self.kv_caches = [
+                backend.new_kv_cache(dp * num_device_blocks, dtype)
+                for _ in range(num_layers)]
         # Host swap pool (ml_dtypes makes bf16/fp8 valid numpy dtypes):
         # stacked → one [L, cpu_slots, 2*kvh, d] array, else per-layer list.
         _, kvh2, d = backend.kv_cache_shape(1)
         np_dt = jnp.dtype(cache_dtype)
-        cpu_slots = num_cpu_blocks * self.block_size
+        cpu_slots = dp * num_cpu_blocks * self.block_size
         if num_cpu_blocks <= 0:
             self.cpu_cache = [] if not stacked else None
         elif stacked:
@@ -185,53 +192,67 @@ class DecodingModelRunner:
     measured ~2x step time (VERDICT r2 weak #1)."""
 
     def __init__(self, model, mesh=None, page_size: int = 16,
-                 manual_tp: int = 1) -> None:
+                 manual_tp: int = 1, manual_dp: int = 1) -> None:
         self.model = model
         self.mesh = mesh
         self.page_size = page_size
         self.manual_tp = manual_tp
+        # In-engine data parallelism: the blob is [dp, L] (one
+        # sub-batch per partition), KV pages are sharded over the mesh
+        # "dp" axis, and each dp shard runs the full step on its own
+        # rows — zero cross-partition collectives (reference contract:
+        # gpu_data_parallelism_executor.py:17-81).
+        self.manual_dp = manual_dp
         self.params = None
         self._step_cache: Dict[Any, Any] = {}
         # (chain_key, last sampled tokens [S] device array) of the most
         # recent multi-step invocation — deferred-output chaining source.
         self._ms_chain = None
         self._param_pspecs = None
-        if manual_tp > 1:
+        if manual_tp > 1 or manual_dp > 1:
             self._param_pspecs = jax.tree.map(
                 lambda s: s.pspec, model.specs(),
                 is_leaf=lambda x: hasattr(x, "pspec"))
             from jax.sharding import PartitionSpec as P
 
-            self._kv_pspec = P(None, None, "tp", None) \
+            dpax = "dp" if manual_dp > 1 else None
+            self._kv_pspec = P(None, dpax, "tp", None) \
                 if getattr(model, "scan_layers", False) \
-                else P(None, "tp", None)
+                else P(dpax, "tp", None)
 
     def prepare(self, params) -> None:
         self.params = params
 
     def _jit_step(self, step, out_specs_fn):
-        """jit the step; under manual TP, shard_map the whole body first.
+        """jit the step; under manual TP/DP, shard_map the whole body
+        first.
 
-        out_specs_fn(kv_spec) -> the out_specs pytree prefix (the kv
-        position carries the cache sharding; everything else is
-        replicated — activations stay replicated across shards, the
-        collectives all live inside the layers)."""
-        if self.manual_tp <= 1:
+        out_specs_fn(kv_spec, dpax) -> the out_specs pytree prefix (the kv
+        position carries the cache sharding; per-row outputs shard over
+        `dpax` when in-engine DP is on, everything else is replicated —
+        activations stay replicated across tp shards, the collectives all
+        live inside the layers)."""
+        if self.manual_tp <= 1 and self.manual_dp <= 1:
             return jax.jit(step, donate_argnums=(1,))
         from jax.sharding import PartitionSpec as P
 
         from light_vllm_tpu.parallel.manual import manual_tp
 
         tp = self.manual_tp
+        dp = self.manual_dp
+        dpax = "dp" if dp > 1 else None
 
         def traced(params, kv_caches, blob):
+            if dp > 1:
+                blob = blob.reshape(blob.shape[-1])  # local [1, L] -> [L]
             with manual_tp(tp):
                 return step(params, kv_caches, blob)
 
+        blob_spec = P("dp") if dp > 1 else P()
         sharded = jax.shard_map(
             traced, mesh=self.mesh,
-            in_specs=(self._param_pspecs, self._kv_pspec, P()),
-            out_specs=out_specs_fn(self._kv_pspec),
+            in_specs=(self._param_pspecs, self._kv_pspec, blob_spec),
+            out_specs=out_specs_fn(self._kv_pspec, dpax),
             check_vma=False)
         return jax.jit(sharded, donate_argnums=(1,))
 
@@ -324,8 +345,12 @@ class DecodingModelRunner:
 
         from jax.sharding import PartitionSpec as Psp
 
+        # Per-shard outputs concat over dp: packed [2, S] -> [2, dp*S],
+        # topk/plp/lp rows on their leading row axis.
         return self._jit_step(
-            step, lambda kv: (Psp(), Psp(), Psp(), kv, Psp(), Psp()))
+            step, lambda kv, dpx: (Psp(None, dpx), Psp(dpx), Psp(dpx), kv,
+                                   (Psp(dpx), Psp(dpx), Psp(dpx)),
+                                   Psp(dpx)))
 
     def _make_multistep_fn(self, use_topkp: bool, S: int, P: int,
                            num_steps: int, page_size: int, NT: int,
@@ -412,7 +437,9 @@ class DecodingModelRunner:
 
         from jax.sharding import PartitionSpec as Psp
 
-        return self._jit_step(step, lambda kv: (Psp(), kv))
+        # ring [K, 2, S] -> [K, 2, dp*S]
+        return self._jit_step(
+            step, lambda kv, dpx: (Psp(None, None, dpx), kv))
 
     def precompile(self, specs, kv_caches, max_workers: int = 8) -> None:
         """AOT-compile the static-shape executable set (from
@@ -439,7 +466,9 @@ class DecodingModelRunner:
                                              NT, max_out, greedy)
             else:
                 fn = self._make_step_fn(*key)
-            blob = jax.ShapeDtypeStruct((nblob,), jnp.int32)
+            shape = (self.manual_dp, nblob) if self.manual_dp > 1 \
+                else (nblob,)
+            blob = jax.ShapeDtypeStruct(shape, jnp.int32)
             compiled = fn.lower(self.params, kv_caches, blob).compile()
             self._step_cache[key] = compiled
             return key
@@ -478,8 +507,13 @@ class DecodingModelRunner:
                 assert self._ms_chain is not None \
                     and self._ms_chain[0] == model_input.chain_key, \
                     "chain_tokens set but no matching ring cached"
-                blob = jnp.asarray(blob).at[:model_input.S].set(
-                    self._ms_chain[1])
+                blob = jnp.asarray(blob)
+                if blob.ndim == 2:  # in-engine dp: [dp, L]
+                    blob = blob.at[:, :model_input.S].set(
+                        self._ms_chain[1].reshape(blob.shape[0],
+                                                  model_input.S))
+                else:
+                    blob = blob.at[:model_input.S].set(self._ms_chain[1])
             ring, kv_caches = self._step_cache[mkey](
                 self.params, kv_caches, blob)
             self._ms_chain = (model_input.chain_key, ring[K - 1, 0])
@@ -523,6 +557,7 @@ class DecodingWorker(WorkerBase):
         self.cache_engine: Optional[CacheEngine] = None
         self._param_bytes = 0
         self.manual_tp = 1
+        self.in_engine_dp = 1
 
     @classmethod
     def from_engine(cls, engine) -> "DecodingWorker":
@@ -617,6 +652,17 @@ class DecodingWorker(WorkerBase):
             from light_vllm_tpu.models import scan_utils
 
             scan_utils.set_indexed_params_disabled(True)
+        # In-engine DP shards decode work (blob rows + KV pages) over the
+        # mesh "dp" axis — it rides the same whole-step shard_map as
+        # manual TP, so it needs the manual path whenever tp > 1.
+        if pc.data_parallel_size > 1 and self.mesh is not None \
+                and (pc.tensor_parallel_size == 1 or self.manual_tp > 1):
+            self.in_engine_dp = pc.data_parallel_size
+        elif pc.data_parallel_size > 1:
+            logger.warning(
+                "dp=%d requested but the model fell back to GSPMD TP; "
+                "the dp mesh axis will do replicated (redundant) work",
+                pc.data_parallel_size)
         loader = get_model_loader(self.engine_config.load_config)
         params = loader.load_params(self.model, self.engine_config,
                                     self.mesh, manual_tp=self.manual_tp)
@@ -625,12 +671,14 @@ class DecodingWorker(WorkerBase):
         self.runner = DecodingModelRunner(
             self.model, self.mesh,
             page_size=self.attn_backend.block_size,
-            manual_tp=self.manual_tp)
+            manual_tp=self.manual_tp, manual_dp=self.in_engine_dp)
         self.runner.prepare(params)
-        logger.info("model loaded in %.1fs (%.2f GiB params%s)",
+        logger.info("model loaded in %.1fs (%.2f GiB params%s%s)",
                     time.perf_counter() - t0, self._param_bytes / 2**30,
                     f", manual tp={self.manual_tp}"
-                    if self.manual_tp > 1 else "")
+                    if self.manual_tp > 1 else "",
+                    f", in-engine dp={self.in_engine_dp}"
+                    if self.in_engine_dp > 1 else "")
 
     # --- KV sizing (reference: determine_num_available_blocks) -------------
     def determine_num_available_blocks(self) -> Tuple[int, int]:
@@ -670,7 +718,8 @@ class DecodingWorker(WorkerBase):
         self.cache_engine = CacheEngine(
             self.attn_backend, mc.get_num_layers(), num_device_blocks,
             num_cpu_blocks, mc.dtype, self.mesh,
-            stacked=getattr(self.model, "scan_layers", False))
+            stacked=getattr(self.model, "scan_layers", False),
+            dp=self.in_engine_dp)
         self.maybe_precompile()
 
     def maybe_precompile(self) -> None:
@@ -724,8 +773,11 @@ class DecodingWorker(WorkerBase):
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 
+            spec = P("dp") if (self.in_engine_dp > 1
+                               and getattr(mi.blob, "ndim", 1) == 2) \
+                else P()
             mi.blob = jax.device_put(mi.blob,
-                                     NamedSharding(self.mesh, P()))
+                                     NamedSharding(self.mesh, spec))
         else:
             mi.blob = jax.device_put(mi.blob)
         return execute_input
