@@ -41,17 +41,28 @@ def main():
         llm.llm_engine.engine_config.model_config.dtype)
     total = n_swap * block_bytes
 
-    for name, fn in (("swap_out (d2h)", ce.swap_out),
-                     ("swap_in (h2d)", ce.swap_in)):
-        fn(mapping[:2])  # warmup
-        t0 = time.perf_counter()
-        fn(mapping)
-        import jax
+    import jax
 
-        jax.block_until_ready(ce.kv_caches)
-        dt = time.perf_counter() - t0
-        print(f"{name}: {n_swap} blocks ({total / 2**20:.0f} MiB) in "
-              f"{dt * 1e3:.1f} ms -> {total / dt / 2**30:.2f} GiB/s")
+    # swap_out is async: measure (a) dispatch cost on the engine thread —
+    # the piece that sits on the step critical path — and (b) full drain
+    # (device gather + d2h readback + host write) for bandwidth.
+    ce.swap_out(mapping[:2]); ce.drain_swaps()  # warmup
+    t0 = time.perf_counter()
+    ce.swap_out(mapping)
+    dispatch_ms = (time.perf_counter() - t0) * 1e3
+    ce.drain_swaps()
+    dt = time.perf_counter() - t0
+    print(f"swap_out (d2h): dispatch {dispatch_ms:.2f} ms (critical "
+          f"path), drained {n_swap} blocks ({total / 2**20:.0f} MiB) in "
+          f"{dt * 1e3:.1f} ms -> {total / dt / 2**30:.2f} GiB/s")
+
+    ce.swap_in(mapping[:2])  # warmup
+    t0 = time.perf_counter()
+    ce.swap_in(mapping)
+    jax.block_until_ready(ce.kv_caches)
+    dt = time.perf_counter() - t0
+    print(f"swap_in (h2d): {n_swap} blocks ({total / 2**20:.0f} MiB) in "
+          f"{dt * 1e3:.1f} ms -> {total / dt / 2**30:.2f} GiB/s")
 
 
 if __name__ == "__main__":

@@ -112,6 +112,15 @@ class CacheEngine:
                 copy_pages_stacked if stacked else copy_pages,
                 page_size=self.block_size),
             donate_argnums=(0,))
+        # Async swap-out machinery: one FIFO writer thread performs the
+        # device→host readback + host-array write; the engine thread only
+        # dispatches the device gather (see swap_out).
+        import collections
+        import concurrent.futures
+
+        self._swap_writer = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="kv-swap")
+        self._pending_swaps = collections.deque()
 
     @staticmethod
     def get_cache_block_size(block_size: int, num_layers: int,
@@ -133,37 +142,61 @@ class CacheEngine:
             self.kv_caches = [self._copy_fn(kv, src, dst)
                               for kv in self.kv_caches]
 
-    def _host_blocks_view(self):
-        """cpu_cache reshaped to [L, num_cpu_blocks, page, 2*kvh, d]."""
+    def _host_blocks_view(self, layer: Optional[int] = None):
+        """cpu_cache reshaped to [L, num_cpu_blocks, page, 2*kvh, d]
+        (or one layer's [num_cpu_blocks, page, 2*kvh, d])."""
+        if layer is not None:
+            slots, kvh2, d = self.cpu_cache[layer].shape
+            return self.cpu_cache[layer].reshape(
+                slots // self.block_size, self.block_size, kvh2, d)
         L, slots, kvh2, d = self.cpu_cache.shape
         return self.cpu_cache.reshape(L, slots // self.block_size,
                                       self.block_size, kvh2, d)
 
     def swap_out(self, pairs: List[Tuple[int, int]]) -> None:
-        """(device_block, cpu_block) pairs → host."""
+        """(device_block, cpu_block) pairs → host.
+
+        Asynchronous: the device gather is dispatched now — XLA's stream
+        ordering guarantees it reads the pages before the (later
+        dispatched, buffer-donating) step overwrites them — and the
+        device→host readback + host write happen on a single writer
+        thread, off the step critical path (the TPU analog of the
+        reference's stream-overlapped swap, reference:
+        core/executor.py:30-46)."""
         if not pairs:
             return
         dev_ids = jnp.asarray([a for a, _ in pairs], jnp.int32)
         cpu_ids = np.asarray([b for _, b in pairs], np.int64)
         if self.stacked:
-            # One gather for all layers, one vectorized host write.
-            blocks = np.asarray(gather_blocks_stacked(
-                self.kv_caches, dev_ids, self.block_size),
-                dtype=self.cpu_cache.dtype)
-            self._host_blocks_view()[:, cpu_ids] = blocks
-            return
-        for li, kv in enumerate(self.kv_caches):
-            blocks = np.asarray(gather_blocks(kv, dev_ids, self.block_size),
-                                dtype=self.cpu_cache[li].dtype)
-            host = self.cpu_cache[li]
-            for j, (_, cpu_bid) in enumerate(pairs):
-                s = cpu_bid * self.block_size
-                host[s:s + self.block_size] = blocks[j]
+            # One gather for all layers (async dispatch, no host sync).
+            blocks = gather_blocks_stacked(self.kv_caches, dev_ids,
+                                           self.block_size)
+        else:
+            blocks = [gather_blocks(kv, dev_ids, self.block_size)
+                      for kv in self.kv_caches]
+        self._pending_swaps.append(
+            self._swap_writer.submit(self._write_host, blocks, cpu_ids))
+
+    def _write_host(self, blocks, cpu_ids: np.ndarray) -> None:
+        if self.stacked:
+            self._host_blocks_view()[:, cpu_ids] = np.asarray(
+                blocks, dtype=self.cpu_cache.dtype)
+        else:
+            for li, lb in enumerate(blocks):
+                self._host_blocks_view(li)[cpu_ids] = np.asarray(
+                    lb, dtype=self.cpu_cache[li].dtype)
+
+    def drain_swaps(self) -> None:
+        """Block until all in-flight swap-out host writes have landed
+        (swap-in and shutdown must see the final bytes)."""
+        while self._pending_swaps:
+            self._pending_swaps.popleft().result()
 
     def swap_in(self, pairs: List[Tuple[int, int]]) -> None:
         """(cpu_block, device_block) pairs → device."""
         if not pairs:
             return
+        self.drain_swaps()
         dev_ids = jnp.asarray([b for _, b in pairs], jnp.int32)
         cpu_ids = np.asarray([c for c, _ in pairs], np.int64)
         if self.stacked:
@@ -173,10 +206,7 @@ class CacheEngine:
                 dev_ids, self.block_size)
             return
         for li, kv in enumerate(self.kv_caches):
-            host = self.cpu_cache[li]
-            blocks = np.stack(
-                [host[c * self.block_size:(c + 1) * self.block_size]
-                 for c, _ in pairs])
+            blocks = self._host_blocks_view(li)[cpu_ids]
             self.kv_caches[li] = scatter_blocks(
                 kv, jnp.asarray(blocks, kv.dtype), dev_ids, self.block_size)
 
