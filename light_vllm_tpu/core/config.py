@@ -168,6 +168,7 @@ class ModelConfig:
         revision: Optional[str] = None,
         max_model_len: Optional[int] = None,
         quantization: Optional[str] = None,
+        quantization_param_path: Optional[str] = None,
         rope_scaling: Optional[dict] = None,
         rope_theta: Optional[float] = None,
         hf_config: Optional[Any] = None,
@@ -179,6 +180,9 @@ class ModelConfig:
         self.trust_remote_code = trust_remote_code
         self.revision = revision
         self.quantization = quantization
+        # Sidecar JSON with per-layer KV-cache scaling factors (reference:
+        # weight_utils.py:411-450 kv_cache_scales_loader).
+        self.quantization_param_path = quantization_param_path
         self.served_model_name = served_model_name or model
 
         if hf_config is None:

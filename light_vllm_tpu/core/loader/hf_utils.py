@@ -29,11 +29,29 @@ def resolve_weight_files(model_path: str) -> List[str]:
     if os.path.isdir(model_path):
         folder = model_path
     else:
+        import contextlib
+        import fcntl
+        import hashlib
+        import tempfile
+
         from huggingface_hub import snapshot_download
 
-        folder = snapshot_download(
-            model_path,
-            allow_patterns=["*.safetensors", "*.json", "*.bin"])
+        # Exclusive flock around the download: two DP replicas (or two
+        # engine processes) cold-starting the same model must not race
+        # the snapshot fetch (reference:
+        # core/loader/weight_utils.py:58-69 get_lock +
+        # :188-239 lock around download_weights_from_hf).
+        lock_dir = os.path.join(tempfile.gettempdir(), "lvt-locks")
+        os.makedirs(lock_dir, exist_ok=True)
+        lock_path = os.path.join(
+            lock_dir,
+            hashlib.sha256(model_path.encode()).hexdigest() + ".lock")
+        with open(lock_path, "w") as lf, contextlib.ExitStack() as stack:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            stack.callback(fcntl.flock, lf, fcntl.LOCK_UN)
+            folder = snapshot_download(
+                model_path,
+                allow_patterns=["*.safetensors", "*.json", "*.bin"])
     st = sorted(glob.glob(os.path.join(folder, "*.safetensors")))
     if st:
         index_file = os.path.join(folder, "model.safetensors.index.json")
@@ -84,3 +102,36 @@ def state_dict_iterator(state_dict: Dict[str, Any]
                 t = t.float()
             tensor = t.cpu().numpy()
         yield name, np.asarray(tensor)
+
+
+def kv_cache_scales_loader(filename: str, tp_rank: int, tp_size: int,
+                           num_hidden_layers: int,
+                           model_type: Optional[str] = None):
+    """Read serialized per-layer KV-cache scaling factors: a JSON dict
+    {"kv_cache": {"scaling_factor": {tp_rank: {layer: scale}}}}
+    (reference: core/loader/weight_utils.py:411-450 — kept in sync with
+    its extract_scales.py output format). Tolerant: any error logs and
+    returns an empty iterable, i.e. scales default to 1.0."""
+    try:
+        with open(filename) as f:
+            schema = json.load(f)
+        factors = schema["kv_cache"]["scaling_factor"]
+        rank_map = factors.get(str(tp_rank), factors.get(tp_rank))
+        if rank_map is None:
+            raise KeyError(f"tp rank {tp_rank} not in scaling_factor "
+                           f"(ranks: {sorted(factors)})")
+        out = [(int(k), float(v)) for k, v in rank_map.items()]
+        missing = set(range(num_hidden_layers)) - {i for i, _ in out}
+        if missing:
+            logger.warning("kv-cache scales missing for layers %s of %s; "
+                           "those default to 1.0", sorted(missing),
+                           filename)
+        return out
+    except FileNotFoundError:
+        logger.error("KV-cache scales file %r not found", filename)
+    except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+        logger.error("error reading KV-cache scales from %r: %s",
+                     filename, e)
+    logger.warning("defaulting to KV-cache scaling factors = 1.0 for all "
+                   "layers in TP rank %d", tp_rank)
+    return []

@@ -54,6 +54,9 @@ class DecodingEngineArgs(EngineArgs):
     scheduling: str = "sync"
     max_num_on_the_fly: Optional[int] = None
     num_scheduler_steps: int = 1
+    # sidecar JSON with per-layer KV-cache scales (reference:
+    # kv_cache_scales_loader)
+    quantization_param_path: Optional[str] = None
     # rope overrides
     rope_scaling: Optional[dict] = None
     rope_theta: Optional[float] = None
@@ -63,7 +66,9 @@ class DecodingEngineArgs(EngineArgs):
             model=self.model, tokenizer=self.tokenizer, dtype=self.dtype,
             seed=self.seed, trust_remote_code=self.trust_remote_code,
             revision=self.revision, max_model_len=self.max_model_len,
-            quantization=self.quantization, rope_scaling=self.rope_scaling,
+            quantization=self.quantization,
+            quantization_param_path=self.quantization_param_path,
+            rope_scaling=self.rope_scaling,
             rope_theta=self.rope_theta, hf_config=self.hf_config)
         cache_config = CacheConfig(
             block_size=self.block_size,

@@ -696,6 +696,7 @@ class DecodingWorker(WorkerBase):
         loader = get_model_loader(self.engine_config.load_config)
         params = loader.load_params(self.model, self.engine_config,
                                     self.mesh, manual_tp=self.manual_tp)
+        params = self._maybe_apply_kv_scale_sidecar(params)
         leaves = jax.tree.leaves(params)
         self._param_bytes = sum(x.size * x.dtype.itemsize for x in leaves)
         self.runner = DecodingModelRunner(
@@ -709,6 +710,61 @@ class DecodingWorker(WorkerBase):
                     if self.manual_tp > 1 else "",
                     f", in-engine dp={self.in_engine_dp}"
                     if self.in_engine_dp > 1 else "")
+
+    def _maybe_apply_kv_scale_sidecar(self, params):
+        """Overwrite the per-layer fp8-KV dequant scales from the
+        quantization_param_path sidecar JSON when one is given (reference:
+        core/loader/weight_utils.py:411-450 kv_cache_scales_loader +
+        loader.py:313 initialize_kv_cache_scales). The JSON carries one
+        scale per layer; it applies to both K and V, matching the
+        reference's single-scale schema."""
+        mc = self.engine_config.model_config
+        path = getattr(mc, "quantization_param_path", None)
+        if not path:
+            return params
+        if not getattr(self.attn_backend, "needs_kv_scales", False):
+            logger.warning("quantization_param_path given but the KV "
+                           "cache is not fp8; scales ignored")
+            return params
+        from light_vllm_tpu.core.loader.hf_utils import \
+            kv_cache_scales_loader
+
+        L = mc.get_num_layers()
+        scale_map = dict(kv_cache_scales_loader(
+            path, tp_rank=0,
+            tp_size=self.engine_config.parallel_config.tensor_parallel_size,
+            num_hidden_layers=L,
+            model_type=getattr(mc.hf_config, "model_type", None)))
+        if not scale_map:
+            return params
+        layers = params.get("layers")
+        if layers is None:
+            logger.warning("model has no 'layers' param subtree; "
+                           "kv-scale sidecar ignored")
+            return params
+        if isinstance(layers, dict):  # scan-over-layers: stacked [L] leaf
+            sc = layers.get("attn_scales")
+            if sc is None:
+                logger.warning("model carries no attn_scales params; "
+                               "kv-scale sidecar ignored")
+                return params
+            vec = np.asarray([scale_map.get(i, 1.0) for i in range(L)],
+                             np.float32)
+            dev = jnp.asarray(vec)
+            sc["k_scale"] = jax.device_put(dev, sc["k_scale"].sharding) \
+                if hasattr(sc["k_scale"], "sharding") else dev
+            sc["v_scale"] = sc["k_scale"]
+        else:  # unrolled: per-layer dicts
+            for i, lp in enumerate(layers):
+                sc = lp.get("attn_scales")
+                if sc is None:
+                    continue
+                val = jnp.float32(scale_map.get(i, 1.0))
+                sc["k_scale"] = val
+                sc["v_scale"] = val
+        logger.info("applied KV-cache scales from %s (%d layers)", path,
+                    len(scale_map))
+        return params
 
     # --- KV sizing (reference: determine_num_available_blocks) -------------
     def determine_num_available_blocks(self) -> Tuple[int, int]:

@@ -128,3 +128,62 @@ def test_kv_scales_absent_without_fp8(tiny_qwen2):
     layers = runner.params["layers"]
     flat = (layers if isinstance(layers, dict) else layers[0])
     assert "attn_scales" not in flat
+
+
+def test_kv_scales_from_sidecar_json(tiny_qwen2, tmp_path):
+    """quantization_param_path: per-layer scales from the reference's
+    serialized JSON schema populate KVScales (reference:
+    core/loader/weight_utils.py:411-450 kv_cache_scales_loader)."""
+    import json
+
+    from light_vllm_tpu import SamplingParams
+
+    cfg, hf_model = tiny_qwen2
+    amp = _amplified_model(hf_model, 1024.0)
+    rng = np.random.default_rng(2)
+    prompt = {"prompt_token_ids": rng.integers(3, 250, size=9).tolist()}
+    k_amax, v_amax = _kv_amax(amp, prompt["prompt_token_ids"])
+    ref = hf_greedy(amp, prompt["prompt_token_ids"], 8)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+    n_layers = len(amp.model.layers)
+    scale = float(max(k_amax, v_amax) / 400.0)
+    sidecar = {"model_type": "qwen2", "kv_cache": {
+        "dtype": "float8_e4m3fn",
+        "scaling_factor": {"0": {str(i): scale
+                                 for i in range(n_layers)}}}}
+    path = tmp_path / "kv_scales.json"
+    path.write_text(json.dumps(sidecar))
+
+    llm = make_llm(amp, kv_cache_dtype="fp8",
+                   quantization_param_path=str(path))
+    got = llm.generate([prompt], sp)[0].outputs[0].token_ids
+
+    # The sidecar is one scale per layer (shared k/v, reference schema):
+    # it must produce EXACTLY what checkpoint-embedded k_scale=v_scale=s
+    # tensors produce — same computation, different ingestion route.
+    import torch
+
+    sd = dict(amp.state_dict())
+    for i in range(n_layers):
+        sd[f"model.layers.{i}.self_attn.k_scale"] = torch.tensor(scale)
+        sd[f"model.layers.{i}.self_attn.v_scale"] = torch.tensor(scale)
+    llm_ckpt = make_llm(amp, kv_cache_dtype="fp8", state_dict=sd)
+    ckpt = llm_ckpt.generate([prompt], sp)[0].outputs[0].token_ids
+    assert got == ckpt, (got, ckpt)
+
+    # scales actually landed in the param tree (not ones)
+    runner = llm.llm_engine.executor.worker.runner
+    layers = runner.params["layers"]
+    sc = (layers.get("attn_scales") if isinstance(layers, dict)
+          else layers[0]["attn_scales"])
+    ks = np.asarray(sc["k_scale"]).ravel()
+    np.testing.assert_allclose(ks, scale, rtol=1e-6)
+
+    # tolerant loader: bad file -> unit scales, engine still runs
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    llm2 = make_llm(amp, kv_cache_dtype="fp8",
+                    quantization_param_path=str(bad))
+    out2 = llm2.generate([prompt], sp)[0]
+    assert len(out2.outputs[0].token_ids) == 8
