@@ -86,9 +86,13 @@ def build_llm(cfg, max_num_seqs, dtype="bfloat16", quantization=None,
     mnbt = int(os.environ.get("LVT_BENCH_MNBT", "2048"))
     steps = int(os.environ.get("LVT_BENCH_STEPS", "8"))
     otf = os.environ.get("LVT_BENCH_ON_THE_FLY")
+    # block_size 32: the decode attention kernel is DMA-issue-bound at
+    # page 16 (thousands of 32KB page copies per layer call); doubling the
+    # page quarters the descriptor count per fetched byte.
+    bs = int(os.environ.get("LVT_BENCH_BLOCK", "32"))
     return LLM(hf_config=cfg, load_format="dummy", dtype=dtype,
                quantization=quantization, kv_cache_dtype=kv_cache_dtype,
-               max_model_len=2048, block_size=16,
+               max_model_len=2048, block_size=bs,
                max_num_seqs=max_num_seqs,
                enable_chunked_prefill=chunked,
                scheduling=scheduling,

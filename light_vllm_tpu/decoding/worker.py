@@ -508,10 +508,29 @@ class DecodingModelRunner:
         # whole device claim. Keep concurrency low there.
         if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
             max_workers = min(max_workers, 2)
+        # The K-chained multi-step executables are ~K model traces each —
+        # by far the longest compiles (the whole cold start used to block
+        # on them). Compile the single-step set now (serving needs it
+        # immediately) and the "ms" set on background threads: until an
+        # ms executable lands, execute() serves its windows through the
+        # single-step path (VERDICT r2 #8 cold-start fix).
+        from light_vllm_tpu import envs
+
+        background = str(envs.LVT_PRECOMPILE_BG) == "1"
+        now_specs = [s for s in specs
+                     if not (background and s[0][0] == "ms")]
+        bg_specs = [s for s in specs if background and s[0][0] == "ms"]
         with concurrent.futures.ThreadPoolExecutor(max_workers) as pool:
-            done = [k for k in pool.map(build, specs) if k is not None]
-        logger.info("precompiled %d/%d step executables in %.1fs",
-                    len(done), len(specs), time.perf_counter() - t0)
+            done = [k for k in pool.map(build, now_specs) if k is not None]
+        logger.info("precompiled %d/%d step executables in %.1fs%s",
+                    len(done), len(now_specs), time.perf_counter() - t0,
+                    f" ({len(bg_specs)} multi-step compiling in background)"
+                    if bg_specs else "")
+        if bg_specs:
+            self._bg_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lvt-precompile")
+            self._bg_pending = {s[0]: self._bg_pool.submit(build, s)
+                                for s in bg_specs}
 
     def execute(self, model_input: DecodingModelInput, kv_caches):
         K = model_input.multi_step
@@ -522,6 +541,11 @@ class DecodingModelRunner:
             mkey = ("ms", model_input.use_topkp, model_input.S,
                     model_input.P, K, model_input.NT, model_input.max_out,
                     model_input.all_greedy)
+            pending = getattr(self, "_bg_pending", None)
+            in_flight = (pending is not None and mkey in pending
+                         and mkey not in self._step_cache)
+            if in_flight:
+                return self._execute_single(model_input, kv_caches)
             if mkey not in self._step_cache:
                 logger.info("building multi-step executable %s", mkey)
                 self._step_cache[mkey] = self._make_multistep_fn(
@@ -549,6 +573,9 @@ class DecodingModelRunner:
             self._ms_chain = (model_input.chain_key, ring[K - 1, 0])
             return DecodingExecuteOutput(next_tokens=ring), kv_caches
 
+        return self._execute_single(model_input, kv_caches)
+
+    def _execute_single(self, model_input: DecodingModelInput, kv_caches):
         self._last_model_input = model_input  # test/introspection hook
         self._ms_chain = None  # any non-chained step breaks the chain
         key = (model_input.use_penalties, model_input.use_topkp,
@@ -785,8 +812,12 @@ class DecodingWorker(WorkerBase):
             # Activation reserve: generous upper bound for the largest token
             # bucket — hidden activations dominate; 4 bytes/elt (f32 logits).
             max_tokens = sc.max_num_batched_tokens
+            # 1.25 GiB floor: at scan unroll 1 the prefill live set is
+            # a few hundred MB (hidden + one gate_up intermediate +
+            # logits rows); the old 1.5 GiB floor cost ~60 KV blocks and
+            # pushed 256-seq workloads into preemption at block_size 32.
             act_reserve = max(
-                int(1.5 * 2**30),
+                int(1.25 * 2**30),
                 8 * max_tokens * mc.get_hidden_size() * 4)
             tp = self.engine_config.parallel_config.tensor_parallel_size
             budget = int(hbm * cc.hbm_utilization) \

@@ -41,6 +41,10 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # sum). "auto" = on when static shapes are on; "greedy" = only the
     # greedy-sampling variants; "0" = off.
     "LVT_PRECOMPILE": lambda: os.environ.get("LVT_PRECOMPILE", "auto"),
+    # Compile the (slowest, ~K model traces each) multi-step executables
+    # on background threads at init; their windows serve through the
+    # single-step path until ready. "0" = block init on them.
+    "LVT_PRECOMPILE_BG": lambda: os.environ.get("LVT_PRECOMPILE_BG", "1"),
     # MoE expert-compute path: "grouped" (Pallas gmm) | "dense"
     # (masked-dense) | unset = auto by platform and batch size.
     "LVT_MOE_BACKEND": lambda: os.environ.get("LVT_MOE_BACKEND", None),
@@ -53,7 +57,7 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # Partial unroll factor for the layer scan: N layer bodies per loop
     # iteration. Trades a little compile time for less while-loop
     # overhead (dispatch + lost inter-layer overlap).
-    "LVT_SCAN_UNROLL": lambda: int(os.environ.get("LVT_SCAN_UNROLL", "4")),
+    "LVT_SCAN_UNROLL": lambda: int(os.environ.get("LVT_SCAN_UNROLL", "1")),
     # Under the layer scan, feed linears the whole weight stack + layer
     # index (Pallas stacked matmul) instead of an XLA dynamic-slice, which
     # HLO remat re-executes (~5x weight-read roofline per decode step).

@@ -232,8 +232,8 @@ def gated_mlp_act(act_fn, gate_up: "MergedColumnParallelLinear",
             interp = not current_platform().is_tpu
             scale = params.get("scale")
             if scale is not None and kern.stack.dtype != x.dtype:
-                from light_vllm_tpu.layers.quant.fp8 import FP8_HOIST_MIN_M
-                if x.shape[0] >= FP8_HOIST_MIN_M:
+                from light_vllm_tpu.layers.quant.fp8 import _hoist_min_m
+                if x.shape[0] >= _hoist_min_m():
                     # big batches route through the hoisted-dequant XLA
                     # path (see quant/fp8.py apply) — faster than any
                     # inline-dequant Mosaic kernel, fused or not

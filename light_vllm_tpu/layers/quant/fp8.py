@@ -19,9 +19,17 @@ from light_vllm_tpu.layers.linear import LinearMethodBase
 from light_vllm_tpu.layers.quant.base import QuantizationConfig
 
 FP8_MAX = 448.0  # e4m3fn
-# Batch size above which stacked-fp8 matmuls hoist the layer dequant into
-# an XLA fusion + native dot instead of inline Mosaic dequant (see apply).
-FP8_HOIST_MIN_M = 1024
+
+
+def _hoist_min_m() -> int:
+    """Batch size above which stacked-fp8 matmuls hoist the layer dequant
+    into an XLA fusion + native dot instead of inline Mosaic dequant (see
+    apply). XLA fuses the e4m3->bf16 convert into the dot without
+    materializing the weight copy (profiled ~95% MFU on the 8B prefill),
+    while Mosaic's emulated convert holds the inline kernel to ~25% MFU."""
+    import os
+
+    return int(os.environ.get("LVT_FP8_HOIST_MIN_M", "1024"))
 
 
 class Fp8LinearMethod(LinearMethodBase):
@@ -56,7 +64,7 @@ class Fp8LinearMethod(LinearMethodBase):
                 stacked_quantized_matmul
             from light_vllm_tpu.platforms import current_platform
 
-            if x.shape[0] >= FP8_HOIST_MIN_M:
+            if x.shape[0] >= _hoist_min_m():
                 # Prefill-sized batches: Mosaic's e4m3->bf16 convert is
                 # emulated (~11 cycles/elem), so the inline-dequant kernel
                 # runs at ~25% MFU; hoisting the dequant into one XLA

@@ -83,7 +83,14 @@ def _prefill_kernel(
             q_hbm.at[pl.ds(q_start, TILE_Q)], q_buf, q_sem)
         qdma.start()
 
-        num_pages = (seq_len + page_size - 1) // page_size
+        # Causal horizon: no row of this tile attends past the tile's
+        # LAST query position, so pages beyond it are never fetched —
+        # early tiles of a long prefill stream ~half the context on
+        # average (the quadratic→triangular page-walk a varlen flash
+        # kernel gets for free; reference: flash_attn.py:522).
+        last_abs = ctx_len + (q_start - seq_q_start) + TILE_Q - 1
+        kv_hi = jnp.minimum(seq_len, last_abs + 1)
+        num_pages = (kv_hi + page_size - 1) // page_size
         if sliding_window is None:
             start_page = jnp.int32(0)
         else:

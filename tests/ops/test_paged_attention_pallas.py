@@ -12,7 +12,7 @@ from light_vllm_tpu.ops.paged_attention_pallas import paged_attention_decode
 
 
 @pytest.mark.parametrize("h,kvh,d", [(4, 4, 64), (8, 2, 128), (4, 1, 128)])
-@pytest.mark.parametrize("page_size", [16])
+@pytest.mark.parametrize("page_size", [16, 32])
 def test_decode_kernel_matches_reference(h, kvh, d, page_size, rng):
     S = 4
     max_pages = 8
