@@ -794,6 +794,70 @@ class DecodingWorker(WorkerBase):
         return params
 
     # --- KV sizing (reference: determine_num_available_blocks) -------------
+    def _measured_activation_bytes(self) -> Optional[int]:
+        """Measure the step's activation peak by compiling the largest
+        prefill executable against a tiny abstract KV cache and reading
+        XLA's buffer-assignment analysis (temp arena + non-aliased
+        outputs + program code). This is the measured analog of the
+        reference's dummy-batch profile run (reference:
+        decoding/worker/gpu_worker.py:95-144 determine_num_available_blocks)
+        — but exact: XLA preallocates the whole temp arena per executable,
+        so the compile-time number IS the runtime activation peak. Returns
+        None when unmeasurable (CPU tests, dynamic shapes, multi-chip
+        mesh, or a backend without memory_analysis)."""
+        from light_vllm_tpu import envs
+        from light_vllm_tpu.decoding.processor import (
+            static_precompile_specs, static_shapes_enabled)
+
+        if str(envs.LVT_MEASURED_SIZING) == "0":
+            return None
+        if self.runner is None or self.runner.params is None \
+                or not static_shapes_enabled() or self.mesh is not None:
+            return None
+        cc = self.engine_config.cache_config
+        mc = self.engine_config.model_config
+        sc = self.engine_config.scheduler_config
+        specs = static_precompile_specs(
+            sc.max_num_seqs, sc.max_num_batched_tokens,
+            sc.enable_chunked_prefill,
+            cdiv(mc.max_model_len, cc.block_size),
+            num_scheduler_steps=1, greedy_only=True,
+            block_size=cc.block_size)
+        steps = [s for s in specs if s[0][0] != "ms"]
+        if not steps:
+            return None
+        key, nblob = max(steps, key=lambda s: s[0][6])  # largest T bucket
+        tiny_blocks = 16  # shape-only: never executed, indices unused
+        shape = self.attn_backend.kv_cache_shape(tiny_blocks)
+        dt = self.attn_backend.cache_dtype or mc.dtype
+        if getattr(self.model, "scan_layers", False):
+            kv_abs = jax.ShapeDtypeStruct(
+                (mc.get_num_layers(),) + shape, dt)
+        else:
+            kv_abs = [jax.ShapeDtypeStruct(shape, dt)
+                      for _ in range(mc.get_num_layers())]
+        blob = jax.ShapeDtypeStruct((nblob,), jnp.int32)
+        try:
+            t0 = time.perf_counter()
+            fn = self.runner._make_step_fn(*key)
+            compiled = fn.lower(self.runner.params, kv_abs, blob).compile()
+            ma = compiled.memory_analysis()
+            act = (int(ma.temp_size_in_bytes)
+                   + max(int(ma.output_size_in_bytes)
+                         - int(ma.alias_size_in_bytes), 0)
+                   + int(ma.generated_code_size_in_bytes))
+            logger.info(
+                "measured activation peak %.2f GiB (largest prefill "
+                "T=%d: temp %.2f GiB, out-alias %.2f GiB; %.1fs)",
+                act / 2**30, key[6], ma.temp_size_in_bytes / 2**30,
+                max(ma.output_size_in_bytes - ma.alias_size_in_bytes, 0)
+                / 2**30, time.perf_counter() - t0)
+            return act
+        except Exception as e:  # noqa: BLE001 — fall back to the formula
+            logger.warning("measured KV sizing unavailable (%s); using "
+                           "the analytic reserve", e)
+            return None
+
     def determine_num_available_blocks(self) -> Tuple[int, int]:
         cc = self.engine_config.cache_config
         mc = self.engine_config.model_config
@@ -809,16 +873,21 @@ class DecodingWorker(WorkerBase):
         elif hbm is None or plat.is_cpu:
             num_device = 1024  # test default on CPU
         else:
-            # Activation reserve: generous upper bound for the largest token
-            # bucket — hidden activations dominate; 4 bytes/elt (f32 logits).
-            max_tokens = sc.max_num_batched_tokens
-            # 1.25 GiB floor: at scan unroll 1 the prefill live set is
-            # a few hundred MB (hidden + one gate_up intermediate +
-            # logits rows); the old 1.5 GiB floor cost ~60 KV blocks and
-            # pushed 256-seq workloads into preemption at block_size 32.
-            act_reserve = max(
-                int(1.25 * 2**30),
-                8 * max_tokens * mc.get_hidden_size() * 4)
+            measured = self._measured_activation_bytes()
+            if measured is not None:
+                # Headroom on top of the exact executable arena: eager
+                # host→device blob copies, the multi-step ring, swap
+                # gathers, and allocator slack.
+                act_reserve = int(measured * 1.05) + 256 * 2**20
+            else:
+                # Analytic fallback: generous upper bound for the largest
+                # token bucket — hidden activations dominate; 4 bytes/elt
+                # (f32 logits). The 1.5 GiB floor is deliberately fat:
+                # the unmeasured 1.25 GiB cut OOMed the 8B fp8 leg (r3).
+                max_tokens = sc.max_num_batched_tokens
+                act_reserve = max(
+                    int(1.5 * 2**30),
+                    8 * max_tokens * mc.get_hidden_size() * 4)
             tp = self.engine_config.parallel_config.tensor_parallel_size
             budget = int(hbm * cc.hbm_utilization) \
                 - self._param_bytes // max(tp, 1) - act_reserve

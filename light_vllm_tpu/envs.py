@@ -45,6 +45,12 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # on background threads at init; their windows serve through the
     # single-step path until ready. "0" = block init on them.
     "LVT_PRECOMPILE_BG": lambda: os.environ.get("LVT_PRECOMPILE_BG", "1"),
+    # KV sizing: measure the activation peak from the compiled largest
+    # prefill executable's XLA memory analysis instead of the analytic
+    # reserve formula ("0" disables; the reference's analog is the
+    # dummy-batch profile run, gpu_worker.py:95-144).
+    "LVT_MEASURED_SIZING": lambda: os.environ.get(
+        "LVT_MEASURED_SIZING", "1"),
     # MoE expert-compute path: "grouped" (Pallas gmm) | "dense"
     # (masked-dense) | unset = auto by platform and batch size.
     "LVT_MOE_BACKEND": lambda: os.environ.get("LVT_MOE_BACKEND", None),
