@@ -33,6 +33,10 @@ def __getattr__(name):
         from light_vllm_tpu.core.registry import ModelRegistry
 
         return ModelRegistry
+    if name == "Logprob":
+        from light_vllm_tpu.core.schema.engine_io import Logprob
+
+        return Logprob
     if name == "EngineArgs":
         from light_vllm_tpu.core.arg_utils import EngineArgs
 
@@ -45,4 +49,5 @@ def __getattr__(name):
 
 
 __all__ = ["LLM", "LLMEngine", "SamplingParams", "TextPrompt", "TokensPrompt",
-           "ModelRegistry", "EngineArgs", "DataParallelLLM", "__version__"]
+           "ModelRegistry", "EngineArgs", "DataParallelLLM", "Logprob",
+           "__version__"]

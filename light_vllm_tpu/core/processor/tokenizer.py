@@ -46,6 +46,15 @@ class Tokenizer:
         except TypeError:
             self.vocab_size = getattr(tokenizer, "vocab_size", 0)
         self._is_fast = getattr(tokenizer, "is_fast", False)
+        # Added/special token STRINGS: convert_tokens_to_string must keep
+        # these verbatim and join around them (reference:
+        # core/processor/tokenizer.py _convert_tokens_to_string_with_added_encoders).
+        try:
+            added = set(tokenizer.get_added_vocab() or {})
+        except Exception:
+            added = set()
+        added.update(getattr(tokenizer, "all_special_tokens", None) or [])
+        self._added_tokens = added
 
     @classmethod
     def from_engine(cls, engine) -> "Tokenizer":
@@ -82,8 +91,32 @@ class Tokenizer:
             ids, skip_special_tokens=skip_special_tokens)
         return toks
 
-    def convert_tokens_to_string(self, tokens: List[str]) -> str:
-        return self.tokenizer.convert_tokens_to_string(tokens)
+    def convert_tokens_to_string(
+            self, tokens: List[str],
+            spaces_between_special_tokens: bool = True) -> str:
+        """tokens → text. Added/special tokens (present when
+        skip_special_tokens=False) are kept verbatim; the pieces around
+        them are joined with " " or "" per spaces_between_special_tokens
+        (reference: core/processor/tokenizer.py:152-155 +
+        _convert_tokens_to_string_with_added_encoders)."""
+        added = self._added_tokens
+        if not added or not any(t in added for t in tokens):
+            return self.tokenizer.convert_tokens_to_string(tokens)
+        sub_texts: List[str] = []
+        current: List[str] = []
+        for t in tokens:
+            if t in added:
+                if current:
+                    sub_texts.append(
+                        self.tokenizer.convert_tokens_to_string(current))
+                    current = []
+                sub_texts.append(t)
+            else:
+                current.append(t)
+        if current:
+            sub_texts.append(self.tokenizer.convert_tokens_to_string(current))
+        sep = " " if spaces_between_special_tokens else ""
+        return sep.join(sub_texts)
 
     def detokenize_incrementally(
         self,
@@ -92,6 +125,7 @@ class Tokenizer:
         prefix_offset: int,
         read_offset: int,
         skip_special_tokens: bool = True,
+        spaces_between_special_tokens: bool = True,
     ) -> Tuple[List[str], str, int, int]:
         """Decode the newest token(s) given cached window state.
 
@@ -125,9 +159,11 @@ class Tokenizer:
             output_tokens = prev_tokens + new_tokens
 
         prefix_text = self.convert_tokens_to_string(
-            [t for t in output_tokens[prefix_offset:read_offset] if t])
+            [t for t in output_tokens[prefix_offset:read_offset] if t],
+            spaces_between_special_tokens=spaces_between_special_tokens)
         full_text = self.convert_tokens_to_string(
-            [t for t in output_tokens[prefix_offset:] if t])
+            [t for t in output_tokens[prefix_offset:] if t],
+            spaces_between_special_tokens=spaces_between_special_tokens)
 
         if len(full_text) <= len(prefix_text) or full_text.endswith("�"):
             # Not enough bytes for a full character yet; emit nothing.

@@ -14,6 +14,40 @@ class ValidationError(ValueError):
     """Raised when user inputs fail validation."""
 
 
+class Logprob(float):
+    """Log probability of one token candidate.
+
+    Behaves as a plain float (this repo's historical logprob schema, and
+    what arithmetic consumers expect) while carrying the reference's
+    Logprob fields (reference: light_vllm/decoding/schema/sequence.py
+    Logprob: logprob / rank / decoded_token, filled by
+    core/processor/tokenizer.py:45-205 decode_*_inplace).
+
+    rank: 1-based rank among the step's returned top-k candidates
+    (None when the token fell outside the top-k window — the device step
+    does not compute full-vocab ranks).
+    decoded_token: the text this candidate would append to the sequence
+    (None unless SamplingParams.detokenize and a tokenizer is present).
+    """
+
+    __slots__ = ("rank", "decoded_token")
+
+    def __new__(cls, logprob: float, rank: Optional[int] = None,
+                decoded_token: Optional[str] = None) -> "Logprob":
+        self = super().__new__(cls, logprob)
+        self.rank = rank
+        self.decoded_token = decoded_token
+        return self
+
+    @property
+    def logprob(self) -> float:
+        return float(self)
+
+    def __repr__(self) -> str:
+        return (f"Logprob({float(self)!r}, rank={self.rank}, "
+                f"decoded_token={self.decoded_token!r})")
+
+
 @dataclass
 class Params:
     """Base class for per-request parameter bundles (sampling, pooling...)."""
@@ -118,7 +152,7 @@ class CompletionOutput:
     text: str
     token_ids: List[int]
     cumulative_logprob: Optional[float] = None
-    logprobs: Optional[List[Dict[int, float]]] = None
+    logprobs: Optional[List[Dict[int, Logprob]]] = None
     finish_reason: Optional[str] = None
     stop_reason: Optional[Union[int, str]] = None
 
@@ -136,9 +170,9 @@ class RequestOutput:
     prompt: Optional[str] = None
     prompt_token_ids: Optional[List[int]] = None
     outputs: List[CompletionOutput] = field(default_factory=list)
-    # [None] + one {token_id: logprob} dict per prompt position (when
+    # [None] + one {token_id: Logprob} dict per prompt position (when
     # SamplingParams.prompt_logprobs is set)
-    prompt_logprobs: Optional[List[Optional[Dict[int, float]]]] = None
+    prompt_logprobs: Optional[List[Optional[Dict[int, Logprob]]]] = None
     metrics: Optional[RequestMetrics] = None
 
 

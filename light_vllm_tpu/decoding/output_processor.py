@@ -6,12 +6,12 @@ processor/utils/single_step.py:15, processor/utils/stop_checker.py:8)
 """
 
 import copy
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from light_vllm_tpu.core.processor.output_processor import OutputProcessor
-from light_vllm_tpu.core.schema.engine_io import (CompletionOutput,
+from light_vllm_tpu.core.schema.engine_io import (CompletionOutput, Logprob,
                                                   RequestOutput)
 from light_vllm_tpu.decoding.sampling_params import SamplingParams
 from light_vllm_tpu.decoding.schema import (DecodingExecuteOutput,
@@ -151,11 +151,9 @@ class DecodingOutputProcessor(OutputProcessor):
                                 np.asarray(execute_output.lp_logits)[row])
                         if (topk_lp is not None and meta.do_sample
                                 and meta.sampling_params.logprobs):
-                            k = meta.sampling_params.logprobs
-                            d = {int(t): float(p) for t, p in
-                                 zip(topk_ids[slot][:k], topk_lp[slot][:k])}
-                            d.setdefault(token, lp)
-                            seq.logprobs.append(d)
+                            seq.logprobs.append(self._build_logprob_dict(
+                                seq, meta.sampling_params, topk_ids[slot],
+                                topk_lp[slot], token, lp))
                         # advance computed-token count: full chunk on the
                         # first sub-step, one token per chained iteration
                         seq.data.update_num_computed_tokens(
@@ -378,11 +376,11 @@ class DecodingOutputProcessor(OutputProcessor):
             lp_tok = score - seq.data.cumulative_logprob
             seq.append_token_id(tok, lp_tok)
             if sp.logprobs:
-                k = sp.logprobs
-                d = {int(t): float(p) for t, p in
-                     zip(topk_ids[slot][:k], topk_lp[slot][:k])}
-                d.setdefault(tok, lp_tok)
-                seq.logprobs.append(d)
+                # seq already carries tok; candidates decode against the
+                # pre-append context
+                seq.logprobs.append(self._build_logprob_dict(
+                    seq, sp, topk_ids[slot], topk_lp[slot], tok,
+                    lp_tok, context_ids=seq.get_token_ids()[:-1]))
             self._detokenize(seq, sp)
 
         # length bound: finalize with live beams added (HF finalize path)
@@ -437,17 +435,30 @@ class DecodingOutputProcessor(OutputProcessor):
                     if execute_output.plp_topk_ids is not None else None)
         if g.prompt_logprobs is None:
             g.prompt_logprobs = [None]
+        detok = (meta.sampling_params.detokenize
+                 and self.tokenizer is not None)
         for i in range(chunk):
             pos = ctx + i
             if pos + 1 >= len(prompt):
                 break  # last prompt row predicts the first sampled token
             row = start + i
             target = prompt[pos + 1]
-            d = {}
+            d: Dict[int, Logprob] = {}
             if topk_ids is not None and k:
-                d = {int(t): float(p) for t, p in
-                     zip(topk_ids[row][:k], topk_lp[row][:k])}
-            d[target] = float(chosen[row])
+                d = {int(t): Logprob(float(p), rank=r + 1)
+                     for r, (t, p) in enumerate(
+                         zip(topk_ids[row][:k], topk_lp[row][:k]))}
+            if target not in d:
+                d[target] = Logprob(float(chosen[row]))
+            else:
+                d[target] = Logprob(float(chosen[row]),
+                                    rank=d[target].rank)
+            if detok:
+                # Candidate token text per prompt position (reference:
+                # tokenizer.py:45-118 decode_prompt_logprobs_inplace).
+                for tid, lp in d.items():
+                    lp.decoded_token = self.tokenizer.convert_tokens_to_string(
+                        self.tokenizer.convert_ids_to_tokens([int(tid)]))
             g.prompt_logprobs.append(d)
 
     def _host_resample(self, seq: Sequence, sp: SamplingParams,
@@ -513,20 +524,70 @@ class DecodingOutputProcessor(OutputProcessor):
         token = int(rng.choice(V, p=probs))
         return token, float(logz[token])
 
+    def _prime_detokenizer(self, seq: Sequence,
+                           params: SamplingParams) -> None:
+        """Initialize the incremental-detok window over the PROMPT only,
+        so the first generated token emits its text as a delta (reference:
+        tokenizer.py convert_prompt_ids_to_tokens priming). Priming over
+        prompt+token would swallow the first token's text."""
+        if seq.tokens is not None:
+            return
+        prompt_ids = seq.get_token_ids()[:seq.data.get_prompt_len()]
+        (seq.tokens, _, seq.prefix_offset,
+         seq.read_offset) = self.tokenizer.detokenize_incrementally(
+             prompt_ids, None, 0, 0,
+             skip_special_tokens=params.skip_special_tokens,
+             spaces_between_special_tokens=(
+                 params.spaces_between_special_tokens))
+
     def _detokenize(self, seq: Sequence, params: SamplingParams) -> str:
         if not params.detokenize or self.tokenizer is None:
             return ""
+        self._prime_detokenizer(seq, params)
         (new_tokens, delta, seq.prefix_offset,
          seq.read_offset) = self.tokenizer.detokenize_incrementally(
              seq.get_token_ids(), seq.tokens, seq.prefix_offset,
              seq.read_offset,
-             skip_special_tokens=params.skip_special_tokens)
+             skip_special_tokens=params.skip_special_tokens,
+             spaces_between_special_tokens=(
+                 params.spaces_between_special_tokens))
         if seq.tokens is None:
             seq.tokens = new_tokens
         else:
             seq.tokens.extend(new_tokens)
         seq.output_text += delta
         return delta
+
+    def _build_logprob_dict(self, seq: Sequence, params: SamplingParams,
+                            ids_row, lp_row, chosen_token: int,
+                            chosen_lp: float,
+                            context_ids: Optional[List[int]] = None
+                            ) -> Dict[int, Logprob]:
+        """{token_id: Logprob} for one sampled position: the step's top-k
+        candidates (rank = 1-based top-k order) + the chosen token, each
+        carrying decoded_token = the text the candidate would append given
+        the sequence's current detokenizer state (reference:
+        core/processor/tokenizer.py:120-188 decode_sequence_inplace
+        filling Logprob.decoded_token)."""
+        k = params.logprobs
+        d: Dict[int, Logprob] = {}
+        for rank, (t, p) in enumerate(zip(ids_row[:k], lp_row[:k])):
+            d[int(t)] = Logprob(float(p), rank=rank + 1)
+        if chosen_token not in d:
+            d[chosen_token] = Logprob(chosen_lp)
+        if params.detokenize and self.tokenizer is not None:
+            self._prime_detokenizer(seq, params)
+            ctx = list(context_ids if context_ids is not None
+                       else seq.get_token_ids())
+            for tid, lp in d.items():
+                _, text, _, _ = self.tokenizer.detokenize_incrementally(
+                    ctx + [tid], seq.tokens, seq.prefix_offset,
+                    seq.read_offset,
+                    skip_special_tokens=params.skip_special_tokens,
+                    spaces_between_special_tokens=(
+                        params.spaces_between_special_tokens))
+                lp.decoded_token = text
+        return d
 
     def _to_request_output(self, g) -> RequestOutput:
         sp = g.sampling_params
