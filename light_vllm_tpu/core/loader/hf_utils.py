@@ -71,13 +71,31 @@ def resolve_weight_files(model_path: str) -> List[str]:
 def safetensors_weights_iterator(
         files: List[str]) -> Iterator[Tuple[str, np.ndarray]]:
     """Stream (name, np.ndarray) pairs from safetensors shards
-    (reference: weight_utils.py:374). numpy framework avoids torch."""
+    (reference: weight_utils.py:374). numpy framework avoids torch —
+    except fp8 tensors (prequantized checkpoints), which safetensors'
+    numpy framework cannot map (numpy itself has no float8): those are
+    read through torch and bit-viewed into ml_dtypes fp8."""
     from safetensors import safe_open
 
+    _FP8_DTYPES = {"F8_E4M3": "float8_e4m3fn", "F8_E5M2": "float8_e5m2"}
     for file in files:
+        fp8_names = {}
         with safe_open(file, framework="np") as f:
             for name in f.keys():
+                dt = f.get_slice(name).get_dtype()
+                if dt in _FP8_DTYPES:
+                    fp8_names[name] = _FP8_DTYPES[dt]
+                    continue
                 yield name, f.get_tensor(name)
+        if fp8_names:
+            import ml_dtypes
+            import torch
+
+            with safe_open(file, framework="pt") as f:
+                for name, dt in fp8_names.items():
+                    t = f.get_tensor(name)
+                    yield name, (t.view(torch.uint8).numpy()
+                                 .view(getattr(ml_dtypes, dt)))
 
 
 def pt_weights_iterator(files: List[str]) -> Iterator[Tuple[str, np.ndarray]]:

@@ -83,11 +83,9 @@ class LinearBase(Layer):
         """Quantize a float host-side kernel at load time when this layer's
         specs expect a quantized format (reference:
         process_weights_after_loading, fp8.py:172-180). A kernel arriving as
-        a QTensor (prequantized GPTQ/AWQ checkpoint, quant/ingest.py) is
-        already in our layout — just splat its params."""
-        from light_vllm_tpu.layers.quant.ingest import QTensor
-
-        if isinstance(raw.get("kernel"), QTensor):
+        a QTensor / Fp8Tensor (prequantized GPTQ/AWQ/fp8 checkpoint,
+        quant/ingest.py) is already in our layout — just splat its params."""
+        if hasattr(raw.get("kernel"), "to_params"):
             qt = raw["kernel"]
             raw = dict(raw)
             raw.pop("kernel")

@@ -57,8 +57,25 @@ class QTensor:
                 "zero": self.zero}
 
 
-def concat_cols(parts: Sequence[Union[np.ndarray, QTensor]]
-                ) -> Union[np.ndarray, QTensor]:
+@dataclass
+class Fp8Tensor:
+    """Host-side fp8 kernel in our layout, pre-placement: kernel [in, out]
+    float8_e4m3fn + per-output-channel f32 scale [out] — exactly what
+    Fp8LinearMethod.create_specs declares, so ingestion is value-exact
+    (no requantization). Built from compressed-tensors / fbgemm_fp8
+    checkpoints' `.weight` (fp8 [out, in]) + `.weight_scale` (reference:
+    backends/quantization/compressed_tensors/compressed_tensors.py:1-406,
+    fp8.py:96-180 process_weights_after_loading)."""
+
+    kernel: np.ndarray  # [in, out] fp8
+    scale: np.ndarray   # [out] f32
+
+    def to_params(self) -> Dict[str, np.ndarray]:
+        return {"kernel": self.kernel, "scale": self.scale}
+
+
+def concat_cols(parts: Sequence[Union[np.ndarray, QTensor, Fp8Tensor]]
+                ) -> Union[np.ndarray, QTensor, Fp8Tensor]:
     """Concatenate kernels along the output dim — the stacked-param merge
     (q,k,v / gate,up) working for float and quantized kernels alike."""
     if isinstance(parts[0], QTensor):
@@ -67,6 +84,11 @@ def concat_cols(parts: Sequence[Union[np.ndarray, QTensor]]
             packed=np.concatenate([p.packed for p in parts], axis=1),
             scale=np.concatenate([p.scale for p in parts], axis=1),
             zero=np.concatenate([p.zero for p in parts], axis=1))
+    if isinstance(parts[0], Fp8Tensor):
+        assert all(isinstance(p, Fp8Tensor) for p in parts)
+        return Fp8Tensor(
+            kernel=np.concatenate([p.kernel for p in parts], axis=1),
+            scale=np.concatenate([p.scale for p in parts], axis=0))
     return np.concatenate(parts, axis=1)
 
 
@@ -146,13 +168,31 @@ def convert_prequantized(tensors: Dict[str, np.ndarray], name: str
     return convert_awq(qweight, qzeros, scales)
 
 
+def convert_fp8(weight: np.ndarray, weight_scale: np.ndarray) -> Fp8Tensor:
+    """fp8 `.weight` [out, in] + `.weight_scale` (scalar per-tensor, or
+    [out] / [out, 1] per-channel) → Fp8Tensor in our [in, out] layout.
+    Value-exact: dequant is q * scale in both conventions."""
+    out_features = weight.shape[0]
+    scale = np.asarray(weight_scale, np.float32).reshape(-1)
+    if scale.size == 1:
+        scale = np.full((out_features,), float(scale[0]), np.float32)
+    assert scale.shape == (out_features,), (
+        f"weight_scale shape {weight_scale.shape} does not broadcast to "
+        f"[{out_features}] output channels")
+    return Fp8Tensor(kernel=np.ascontiguousarray(weight.T), scale=scale)
+
+
 def get_kernel(tensors: Dict[str, np.ndarray], name: str
-               ) -> Union[np.ndarray, QTensor]:
+               ) -> Union[np.ndarray, QTensor, Fp8Tensor]:
     """Fetch a linear kernel from staged checkpoint tensors: float
-    `.weight` ([out, in] → transposed) or prequantized triple → QTensor."""
+    `.weight` ([out, in] → transposed), prequantized GPTQ/AWQ triple →
+    QTensor, or fp8 `.weight` + `.weight_scale` → Fp8Tensor."""
     if name + ".qweight" in tensors:
         return convert_prequantized(tensors, name)
-    return tensors[name + ".weight"].T
+    w = tensors[name + ".weight"]
+    if name + ".weight_scale" in tensors and w.dtype.itemsize == 1:
+        return convert_fp8(w, tensors[name + ".weight_scale"])
+    return w.T
 
 
 def detect_hf_quantization(hf_config) -> Dict[str, object]:
@@ -173,8 +213,37 @@ def detect_hf_quantization(hf_config) -> Dict[str, object]:
                 f"{method} bits={bits} unsupported (only 4-bit)")
         group = int(qc.get("group_size", qc.get("q_group_size", 128)))
         return {"name": "int4", "group_size": group if group > 0 else 128}
-    if method in ("fp8",):
+    if method in ("fp8", "fbgemm_fp8"):
+        # fbgemm_fp8 stores fp8 .weight + per-channel .weight_scale
+        # (+ activation_scale_ub, unused: activations stay bf16 here) —
+        # ingested value-exact by get_kernel/convert_fp8 (reference:
+        # backends/quantization/fbgemm_fp8.py).
         return {"name": "fp8"}
+    if method == "compressed-tensors":
+        # llm-compressor FP8 checkpoints: validate the weight scheme is
+        # 8-bit float (per-tensor or per-channel); anything else (int8
+        # compressed-tensors, grouped, packed sparsity) is unsupported
+        # (reference: compressed_tensors.py:1-406 scheme dispatch).
+        groups = qc.get("config_groups") or {}
+        for gname, grp in groups.items():
+            wspec = (grp or {}).get("weights") or {}
+            if (wspec.get("type") == "float"
+                    and int(wspec.get("num_bits", 0)) == 8
+                    and wspec.get("strategy") in ("channel", "tensor",
+                                                  None)):
+                if grp.get("input_activations") and not \
+                        (grp["input_activations"].get("dynamic", True)):
+                    logger.info(
+                        "compressed-tensors static input_scale present; "
+                        "activations run bf16 on TPU, input scales unused")
+                return {"name": "fp8"}
+            logger.warning(
+                "compressed-tensors group %r weight scheme %r unsupported "
+                "(only 8-bit float per-channel/per-tensor); loading "
+                "unquantized is impossible for fp8-stored weights", gname,
+                wspec)
+            return {}
+        return {}
     logger.warning("ignoring unsupported hf quantization_config "
                    "quant_method=%r", method)
     return {}
