@@ -159,8 +159,70 @@ def run_workload(llm, num_prompts, input_len, output_len, tag):
                 warmup_s=round(warmup_s, 1))
 
 
+def bge_m3_config():
+    """BGE-M3 shape = XLM-RoBERTa-large (reference:
+    benchmarks/benchmark_bge-m3.py workload)."""
+    return dict(
+        architectures=["XLMRobertaModel"],
+        vocab_size=250002, hidden_size=1024, num_hidden_layers=24,
+        num_attention_heads=16, intermediate_size=4096,
+        max_position_embeddings=8194, type_vocab_size=1,
+        layer_norm_eps=1e-5, hidden_act="gelu", pad_token_id=1)
+
+
+def run_encode_leg(num_docs=512, seq_len=512):
+    """Encode-throughput leg (BASELINE.md north star tracks BGE-m3/XLM-R
+    encode throughput; reference: benchmarks/benchmark_bge-m3.py)."""
+    from light_vllm_tpu import LLM
+
+    llm = LLM(hf_config=bge_m3_config(), load_format="dummy",
+              max_model_len=seq_len, max_num_requests=64,
+              scheduling=os.environ.get("LVT_BENCH_SCHEDULING", "async"))
+    rng = np.random.default_rng(0)
+    reqs = [{"prompt_token_ids":
+             rng.integers(3, 250000, size=seq_len).tolist()}
+            for _ in range(num_docs)]
+    t_warm = time.perf_counter()
+    warm = llm.encode(reqs[:8])
+    assert all(o.embedding is not None for o in warm)
+    warmup_s = time.perf_counter() - t_warm
+    t0 = time.perf_counter()
+    outs = llm.encode(reqs)
+    dt = time.perf_counter() - t0
+    assert len(outs) == num_docs
+    tok_s = num_docs * seq_len / dt
+    sys.stderr.write(
+        f"# [bge-m3-encode] {num_docs} docs x {seq_len} tok: {dt:.2f}s, "
+        f"{num_docs / dt:.1f} req/s, {tok_s:.0f} tok/s "
+        f"(warmup {warmup_s:.1f}s)\n")
+    del llm
+    return dict(total_tok_s=round(tok_s, 1),
+                req_s=round(num_docs / dt, 2),
+                warmup_s=round(warmup_s, 1))
+
+
+def run_parity_gate():
+    """On-device kernel parity gate (compiled Mosaic, not interpret): a
+    numerically-wrong kernel must kill the bench rather than ship a great
+    number. Returns the per-kernel max-error dict."""
+    from light_vllm_tpu.ops.parity import run_kernel_parity
+
+    t0 = time.perf_counter()
+    res = run_kernel_parity()
+    sys.stderr.write(
+        "# kernel parity gate passed (%d kernels, %.1fs): %s\n"
+        % (len(res), time.perf_counter() - t0,
+           " ".join(f"{k}={v:.1e}" for k, v in res.items())))
+    return res
+
+
 def main():
     num_prompts = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+
+    # Correctness gate BEFORE any timing: refuse to emit a metric line if
+    # any Pallas kernel diverges from its jnp reference on this device.
+    if not int(os.environ.get("LVT_BENCH_SKIP_PARITY", "0")):
+        run_parity_gate()
 
     res = {}
     if not int(os.environ.get("LVT_BENCH_SKIP_QWEN", "0")):
@@ -171,6 +233,14 @@ def main():
         res["qwen2"] = {"total_tok_s": 0.0, "skipped": True}
 
     extra = {}
+    if not int(os.environ.get("LVT_BENCH_SKIP_ENCODE", "0")):
+        try:
+            extra["bge_m3_encode"] = run_encode_leg()
+        except Exception as e:  # noqa: BLE001
+            import traceback
+            traceback.print_exc()
+            extra["bge_m3_encode"] = {"error": f"{type(e).__name__}: {e}"}
+
     if not int(os.environ.get("LVT_BENCH_SKIP_8B", "0")):
         # The 8B leg must never suppress the primary metric line.
         try:

@@ -66,6 +66,14 @@ def _prefill_kernel(
     t = pl.program_id(0)
     s = tile_seq_ref[t]
 
+    # Zero the KV scratch once: pages inside a fetch window but past the
+    # causal horizon are never DMA'd, yet their rows still enter the PV
+    # dot with p == 0 — and 0 * NaN(uninitialized VMEM) = NaN poisons the
+    # accumulator (same guard as the decode kernel's inst == 0 zeroing).
+    @pl.when(t == 0)
+    def _zero_scratch():
+        kv_buf[...] = jnp.zeros_like(kv_buf)
+
     @pl.when(s >= 0)
     def _run():
         q_start = tile_qstart_ref[t]
