@@ -279,10 +279,47 @@ class DecodingModelRunner:
                 return step(params, kv_caches, blob)
 
         blob_spec = P("dp") if dp > 1 else P()
+        out_specs = out_specs_fn(self._kv_pspec, dpax)
+        body = traced
+        if dp > 1 and jax.process_count() > 1:
+            # Multi-process in-engine DP: every process's output processor
+            # must read ALL sampled rows, but a dp-sharded output is only
+            # partially addressable per process. Gather the dp-sharded row
+            # outputs inside the shard_map (tiny token arrays, one DCN
+            # all-gather) and mark them replicated.
+            def _is_row_spec(s):
+                return (isinstance(s, P) and "dp" in s
+                        and all(a in (None, "dp") for a in s))
+
+            is_p = lambda x: isinstance(x, P)  # noqa: E731
+            specs_flat, specs_def = jax.tree.flatten(out_specs,
+                                                     is_leaf=is_p)
+
+            def gathered(params, kv_caches, blob):
+                outs = traced(params, kv_caches, blob)
+                outs_flat = specs_def.flatten_up_to(outs)
+
+                def one(s, sub):
+                    if not _is_row_spec(s):
+                        return sub
+                    i = list(s).index("dp")
+                    return jax.tree.map(
+                        lambda x: jax.lax.all_gather(x, "dp", axis=i,
+                                                     tiled=True)
+                        if x is not None else None, sub)
+
+                return jax.tree.unflatten(
+                    specs_def, [one(s, sub) for s, sub
+                                in zip(specs_flat, outs_flat)])
+
+            out_specs = jax.tree.unflatten(
+                specs_def, [P() if _is_row_spec(s) else s
+                            for s in specs_flat])
+            body = gathered
         sharded = jax.shard_map(
-            traced, mesh=self.mesh,
+            body, mesh=self.mesh,
             in_specs=(self._param_pspecs, self._kv_pspec, blob_spec),
-            out_specs=out_specs_fn(self._kv_pspec, dpax),
+            out_specs=out_specs,
             check_vma=False)
         return jax.jit(sharded, donate_argnums=(1,))
 
