@@ -8,7 +8,12 @@ as a device constant, and the application is pure jnp — XLA fuses the gather
 csrc/pos_encoding_kernels.cu.
 
 Supported scaling styles: none, "linear", "dynamic" (NTK), "yarn",
-"llama3", "longrope" (Phi-3 su-scaling).
+"deepseek_yarn" (DeepSeek-V2/V3 mscale-ratio YaRN), "llama3", "longrope"
+(Phi-3 su-scaling). The reference's GemmaRotaryEmbedding variant
+(rotary_embedding.py:726-733) differs from the base class only by
+computing inv_freq through an int64 arange; this module computes all
+caches in float64 numpy host-side, which subsumes that distinction
+(documented design-out).
 """
 
 import math
@@ -160,9 +165,13 @@ class YaRNScalingRotaryEmbedding(RotaryEmbedding):
         self.beta_fast = beta_fast
         self.beta_slow = beta_slow
         self.orig_max_position = orig_max_position
-        self.mscale = float(0.1 * math.log(self.scaling_factor) + 1.0) \
-            * attn_factor if self.scaling_factor > 1 else 1.0 * attn_factor
+        self.mscale = self._compute_mscale()
         super().__init__(*args, **kwargs)
+
+    def _compute_mscale(self) -> float:
+        return float(0.1 * math.log(self.scaling_factor) + 1.0) \
+            * self.attn_factor if self.scaling_factor > 1 \
+            else 1.0 * self.attn_factor
 
     def _inv_freq(self) -> np.ndarray:
         orig_max = self.orig_max_position or self.max_position
@@ -189,6 +198,31 @@ class YaRNScalingRotaryEmbedding(RotaryEmbedding):
         freqs = np.outer(t, inv_freq)
         return ((np.cos(freqs) * self.mscale).astype(np.float32),
                 (np.sin(freqs) * self.mscale).astype(np.float32))
+
+
+def _yarn_get_mscale(scale: float, mscale: float) -> float:
+    if scale <= 1:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+class DeepseekYaRNRotaryEmbedding(YaRNScalingRotaryEmbedding):
+    """DeepSeek-V2/V3 YaRN: same interpolation as YaRN but the attention
+    temperature is the RATIO of two mscale terms (config `mscale` /
+    `mscale_all_dim`) — reference: rotary_embedding.py:613-682
+    DeepseekScalingRotaryEmbedding / yarn_get_mscale(scale, mscale)."""
+
+    def __init__(self, *args, mscale: float = 1.0,
+                 mscale_all_dim: float = 0.0, **kwargs):
+        self.ds_mscale = float(mscale)
+        self.ds_mscale_all_dim = float(mscale_all_dim)
+        super().__init__(*args, **kwargs)
+
+    def _compute_mscale(self) -> float:
+        return float(
+            _yarn_get_mscale(self.scaling_factor, self.ds_mscale)
+            / _yarn_get_mscale(self.scaling_factor, self.ds_mscale_all_dim)
+            * self.attn_factor)
 
 
 class Llama3RotaryEmbedding(RotaryEmbedding):
@@ -289,6 +323,17 @@ def get_rope(head_dim: int, rotary_dim: int, max_position: int, base: float,
                 beta_fast=rope_scaling.get("beta_fast", 32),
                 beta_slow=rope_scaling.get("beta_slow", 1),
                 attn_factor=rope_scaling.get("attn_factor", 1.0))
+        elif scaling_type == "deepseek_yarn":
+            rope = DeepseekYaRNRotaryEmbedding(
+                head_dim, rotary_dim, max_position, base, is_neox_style,
+                dtype, scaling_factor=factor,
+                orig_max_position=rope_scaling.get(
+                    "original_max_position_embeddings"),
+                beta_fast=rope_scaling.get("beta_fast", 32),
+                beta_slow=rope_scaling.get("beta_slow", 1),
+                attn_factor=rope_scaling.get("attn_factor", 1.0),
+                mscale=rope_scaling.get("mscale", 1.0),
+                mscale_all_dim=rope_scaling.get("mscale_all_dim", 0.0))
         elif scaling_type == "llama3":
             rope = Llama3RotaryEmbedding(
                 head_dim, rotary_dim, max_position, base, is_neox_style,
