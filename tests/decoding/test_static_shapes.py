@@ -61,6 +61,9 @@ def test_precompile_covers_default_mode(monkeypatch):
     from light_vllm_tpu import LLM, SamplingParams
     monkeypatch.setenv("LVT_STATIC_SHAPES", "1")
     monkeypatch.setenv("LVT_PRECOMPILE", "1")
+    # deterministic cache snapshot: background ms-compiles land in
+    # _step_cache after the `before` snapshot (xdist-load-dependent)
+    monkeypatch.setenv("LVT_PRECOMPILE_BG", "0")
     llm = LLM(hf_config=tiny_qwen2_config(), load_format="dummy",
               dtype="float32", max_model_len=128, max_num_seqs=4,
               block_size=8, num_scheduler_steps=4,
@@ -86,6 +89,9 @@ def test_precompile_covers_chunked_async(monkeypatch):
     from light_vllm_tpu import LLM, SamplingParams
     monkeypatch.setenv("LVT_STATIC_SHAPES", "1")
     monkeypatch.setenv("LVT_PRECOMPILE", "1")
+    # deterministic cache snapshot: background ms-compiles land in
+    # _step_cache after the `before` snapshot (xdist-load-dependent)
+    monkeypatch.setenv("LVT_PRECOMPILE_BG", "0")
     llm = LLM(hf_config=tiny_qwen2_config(), load_format="dummy",
               dtype="float32", max_model_len=128, max_num_seqs=4,
               block_size=8, scheduling="simple_async",
