@@ -59,11 +59,13 @@ class QTensor:
 
 @dataclass
 class Fp8Tensor:
-    """Host-side fp8 kernel in our layout, pre-placement: kernel [in, out]
-    float8_e4m3fn + per-output-channel f32 scale [out] — exactly what
-    Fp8LinearMethod.create_specs declares, so ingestion is value-exact
-    (no requantization). Built from compressed-tensors / fbgemm_fp8
-    checkpoints' `.weight` (fp8 [out, in]) + `.weight_scale` (reference:
+    """Host-side channel-quantized kernel in our layout, pre-placement:
+    kernel [in, out] (float8_e4m3fn or int8) + per-output-channel f32
+    scale [out] — exactly what Fp8LinearMethod / Int8LinearMethod
+    create_specs declare, so ingestion is value-exact (no
+    requantization). Built from compressed-tensors / fbgemm_fp8
+    checkpoints' `.weight` (1-byte [out, in]) + `.weight_scale`
+    (reference:
     backends/quantization/compressed_tensors/compressed_tensors.py:1-406,
     fp8.py:96-180 process_weights_after_loading)."""
 
@@ -227,21 +229,27 @@ def detect_hf_quantization(hf_config) -> Dict[str, object]:
         groups = qc.get("config_groups") or {}
         for gname, grp in groups.items():
             wspec = (grp or {}).get("weights") or {}
-            if (wspec.get("type") == "float"
-                    and int(wspec.get("num_bits", 0)) == 8
-                    and wspec.get("strategy") in ("channel", "tensor",
-                                                  None)):
+            is8 = int(wspec.get("num_bits", 0)) == 8
+            chan = wspec.get("strategy") in ("channel", "tensor", None)
+            if wspec.get("type") == "float" and is8 and chan:
                 if grp.get("input_activations") and not \
                         (grp["input_activations"].get("dynamic", True)):
                     logger.info(
                         "compressed-tensors static input_scale present; "
                         "activations run bf16 on TPU, input scales unused")
                 return {"name": "fp8"}
+            if (wspec.get("type") == "int" and is8 and chan
+                    and wspec.get("symmetric", True)):
+                # int8 W8A8: checkpoint .weight int8 [out, in] +
+                # weight_scale [out, 1] is exactly Int8LinearMethod's
+                # layout after transpose (reference:
+                # compressed_tensors/schemes/compressed_tensors_w8a8_int8.py)
+                return {"name": "int8"}
             logger.warning(
                 "compressed-tensors group %r weight scheme %r unsupported "
-                "(only 8-bit float per-channel/per-tensor); loading "
-                "unquantized is impossible for fp8-stored weights", gname,
-                wspec)
+                "(8-bit float, or symmetric 8-bit int, per-channel/"
+                "per-tensor only); quantized-stored weights cannot load "
+                "unquantized", gname, wspec)
             return {}
         return {}
     logger.warning("ignoring unsupported hf quantization_config "

@@ -126,17 +126,101 @@ def test_fbgemm_fp8_detected():
     assert detect_hf_quantization(Cfg()) == {"name": "fp8"}
 
 
-def test_compressed_tensors_int8_rejected():
+def test_compressed_tensors_int8_detected():
     from light_vllm_tpu.layers.quant.ingest import detect_hf_quantization
 
     class Cfg:
         quantization_config = {
             "quant_method": "compressed-tensors",
             "config_groups": {"group_0": {"weights": {
-                "type": "int", "num_bits": 8, "strategy": "channel"}}},
+                "type": "int", "num_bits": 8, "strategy": "channel",
+                "symmetric": True}}},
+        }
+
+    assert detect_hf_quantization(Cfg()) == {"name": "int8"}
+
+
+def test_compressed_tensors_int4_rejected():
+    from light_vllm_tpu.layers.quant.ingest import detect_hf_quantization
+
+    class Cfg:
+        quantization_config = {
+            "quant_method": "compressed-tensors",
+            "config_groups": {"group_0": {"weights": {
+                "type": "int", "num_bits": 4, "strategy": "group"}}},
         }
 
     assert detect_hf_quantization(Cfg()) == {}
+
+
+def _int8_quant_config():
+    return {
+        "quant_method": "compressed-tensors",
+        "format": "int-quantized",
+        "config_groups": {
+            "group_0": {
+                "targets": ["Linear"],
+                "weights": {"type": "int", "num_bits": 8,
+                            "strategy": "channel", "symmetric": True},
+                "input_activations": {"type": "int", "num_bits": 8,
+                                      "dynamic": True},
+            }
+        },
+        "ignore": ["lm_head"],
+    }
+
+
+@pytest.fixture
+def int8_checkpoint(tiny_qwen2, tmp_path):  # noqa: F811
+    import torch
+    from safetensors.torch import save_file
+
+    cfg, hf_model = tiny_qwen2
+    out = {}
+    for name, t in hf_model.state_dict().items():
+        arr = t.detach().numpy()
+        if ".layers." in name and name.endswith(".weight") and arr.ndim == 2 \
+                and "norm" not in name:
+            k = arr.astype(np.float32)
+            amax = np.abs(k).max(axis=1, keepdims=True)
+            scale = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+            q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
+            out[name] = torch.from_numpy(q)
+            out[name.replace(".weight", ".weight_scale")] = \
+                torch.from_numpy(scale)
+        else:
+            out[name] = t.detach().contiguous()
+    save_file(out, str(tmp_path / "model.safetensors"))
+    cfg_d = json.loads(cfg.to_json_string())
+    cfg_d["architectures"] = ["Qwen2ForCausalLM"]
+    cfg_d["quantization_config"] = _int8_quant_config()
+    (tmp_path / "config.json").write_text(json.dumps(cfg_d))
+    return str(tmp_path)
+
+
+def test_int8_checkpoint_parity_with_runtime_quant(tiny_qwen2,  # noqa: F811
+                                                   int8_checkpoint):
+    """int8 compressed-tensors checkpoints load value-exact into the W8A8
+    method and match runtime int8 quantization of the float weights."""
+    from light_vllm_tpu import LLM, SamplingParams
+    from light_vllm_tpu.core.processor.tokenizer import NullHFTokenizer
+
+    cfg, hf_model = tiny_qwen2
+    rng = np.random.default_rng(5)
+    prompts = [{"prompt_token_ids": rng.integers(3, 250, size=7).tolist()}]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+    llm_rt = LLM(hf_config=tiny_qwen2_config(),
+                 state_dict=hf_model.state_dict(), quantization="int8",
+                 **_llm_kwargs())
+    ref = [o.outputs[0].token_ids for o in llm_rt.generate(prompts, sp)]
+
+    llm_ck = LLM(model=int8_checkpoint, tokenizer_override=NullHFTokenizer(),
+                 **_llm_kwargs())
+    mc = llm_ck.llm_engine.engine_config.model_config
+    assert mc.quantization == "int8"
+    got = [o.outputs[0].token_ids for o in llm_ck.generate(prompts, sp)]
+    assert got == ref
 
 
 def test_convert_fp8_scalar_scale_broadcast():
