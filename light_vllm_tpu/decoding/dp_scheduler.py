@@ -122,8 +122,40 @@ class DataParallelDecodingScheduler:
     def get_num_unfinished_requests(self) -> int:
         return sum(p.get_num_unfinished_requests() for p in self.parts)
 
+    # ----------------------------------------------------------- rebalancing
+    def _rebalance_waiting(self) -> None:
+        """Migrate waiting requests from backlogged partitions to starved
+        ones. Admission-time placement alone can idle a partition for the
+        lifetime of a skewed burst (all its requests finish while another
+        partition still holds a deep backlog). Waiting entries own no
+        device state — raw requests are untokenized, converted /
+        recompute-preempted groups hold zero blocks — so migration is a
+        pure host-queue move."""
+        starved = [p for p in self.parts
+                   if not p.waiting and not p.running and not p.swapped]
+        if not starved:
+            return
+        for recv in starved:
+            donor = max(self.parts, key=lambda p: len(p.waiting))
+            k = len(donor.waiting) // 2
+            if k <= 0:
+                return
+            # take the newest half off the donor's tail: the donor serves
+            # its (older) head this very step, so global FCFS order holds
+            moved = [donor.waiting.pop() for _ in range(k)][::-1]
+            recv.waiting.extend(moved)
+            for r in moved:
+                rid = r.request_id
+                donor.requests.discard(rid)
+                recv.requests.add(rid)
+                if rid in donor.aborted_requests:
+                    donor.aborted_requests.discard(rid)
+                    recv.aborted_requests.add(rid)
+            logger.debug("dp rebalance: moved %d waiting requests", k)
+
     # -------------------------------------------------------------- schedule
     def schedule(self) -> DecodingSchedulerOutput:
+        self._rebalance_waiting()
         subs = [p.schedule() for p in self.parts]
         out = DecodingSchedulerOutput()
         out.dp_size = self.dp
