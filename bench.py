@@ -120,8 +120,14 @@ def run_workload(llm, num_prompts, input_len, output_len, tag):
     t_warm = time.perf_counter()
     warm = llm.generate(prompts[:39], params)
     assert all(len(o.outputs[0].token_ids) == output_len for o in warm)
+    # The multi-step executables compile on a background thread
+    # (LVT_PRECOMPILE_BG); until they land, decode windows serve through
+    # the ~30% slower single-step path. Don't start the timed window on
+    # the fallback path (this alone cost r03 5k tok/s).
+    n_bg = llm.llm_engine.wait_for_precompile()
     warmup_s = time.perf_counter() - t_warm
-    sys.stderr.write(f"# [{tag}] warmup {warmup_s:.1f}s\n")
+    sys.stderr.write(f"# [{tag}] warmup {warmup_s:.1f}s"
+                     f" (waited for {n_bg} background compiles)\n")
 
     engine = llm.llm_engine
     t0 = time.perf_counter()
@@ -195,7 +201,7 @@ def run_encode_leg(num_docs=512, seq_len=512):
         f"# [bge-m3-encode] {num_docs} docs x {seq_len} tok: {dt:.2f}s, "
         f"{num_docs / dt:.1f} req/s, {tok_s:.0f} tok/s "
         f"(warmup {warmup_s:.1f}s)\n")
-    del llm
+    llm.shutdown()
     return dict(total_tok_s=round(tok_s, 1),
                 req_s=round(num_docs / dt, 2),
                 warmup_s=round(warmup_s, 1))
@@ -216,57 +222,105 @@ def run_parity_gate():
     return res
 
 
+def run_leg(leg, num_prompts):
+    """Run ONE bench leg in this process; returns its result dict."""
+    if leg == "parity":
+        return {k: float(v) for k, v in run_parity_gate().items()}
+    if leg == "qwen2":
+        llm = build_llm(qwen2_1_5b_config(), max_num_seqs=128)
+        r = run_workload(llm, num_prompts, 256, 16, "qwen2-1.5b")
+        llm.shutdown()
+        return r
+    if leg == "encode":
+        return run_encode_leg()
+    if leg == "8b":
+        cfg8 = llama3_8b_config()
+        # 256 concurrent seqs: decode reads the 8 GB weight stack once
+        # per step regardless of batch, so the wider batch halves the
+        # per-token weight-read cost; 256 x 272-token KV (69.6k slots)
+        # still fits the 72.7k-slot cache.
+        llm8 = build_llm(cfg8, max_num_seqs=256, quantization="fp8",
+                         kv_cache_dtype="fp8")
+        r8 = run_workload(llm8, max(num_prompts, 64), 256, 16,
+                          "llama3-8b-fp8")
+        mfu = r8["total_tok_s"] * 2 * matmul_params(llama3_8b_config()) \
+            / V5E_BF16_PEAK
+        llm8.shutdown()
+        return dict(r8, mfu=round(mfu, 4))
+    raise ValueError(f"unknown leg {leg!r}")
+
+
+_LEG_SENTINEL = "LVT_LEG_RESULT:"
+
+
+def run_leg_isolated(leg, num_prompts, timeout=3000):
+    """Run a leg in a fresh subprocess: each leg gets the chip's FULL HBM
+    (XLA frees device memory only at client teardown in some backends, and
+    a leaked buffer from leg N must never OOM leg N+1 — r03's 8B leg died
+    exactly that way). In-process fallback: LVT_BENCH_INPROC=1."""
+    import subprocess
+
+    if int(os.environ.get("LVT_BENCH_INPROC", "0")):
+        return run_leg(leg, num_prompts)
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--leg", leg,
+         str(num_prompts)],
+        capture_output=True, text=True, timeout=timeout)
+    sys.stderr.write(proc.stderr)
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(_LEG_SENTINEL):
+            out = json.loads(line[len(_LEG_SENTINEL):])
+            sys.stderr.write(f"# leg {leg} done in "
+                             f"{time.perf_counter() - t0:.0f}s\n")
+            return out
+    tail = "\n".join(proc.stderr.strip().splitlines()[-8:])
+    raise RuntimeError(
+        f"leg {leg!r} subprocess exited rc={proc.returncode} without a "
+        f"result line; stderr tail:\n{tail}")
+
+
 def main():
-    num_prompts = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    argv = sys.argv[1:]
+    leg = None
+    if argv[:1] == ["--leg"]:
+        leg, argv = argv[1], argv[2:]
+    num_prompts = int(argv[0]) if argv else 256
+
+    if leg is not None:  # child mode: one leg, one sentinel line
+        print(_LEG_SENTINEL + json.dumps(run_leg(leg, num_prompts)),
+              flush=True)
+        return
 
     # Correctness gate BEFORE any timing: refuse to emit a metric line if
     # any Pallas kernel diverges from its jnp reference on this device.
     if not int(os.environ.get("LVT_BENCH_SKIP_PARITY", "0")):
-        run_parity_gate()
+        run_leg_isolated("parity", num_prompts)
 
-    res = {}
     if not int(os.environ.get("LVT_BENCH_SKIP_QWEN", "0")):
-        llm = build_llm(qwen2_1_5b_config(), max_num_seqs=128)
-        res["qwen2"] = run_workload(llm, num_prompts, 256, 16, "qwen2-1.5b")
-        del llm
+        qwen2 = run_leg_isolated("qwen2", num_prompts)
     else:  # 8B-leg iteration mode: keep the JSON schema intact
-        res["qwen2"] = {"total_tok_s": 0.0, "skipped": True}
+        qwen2 = {"total_tok_s": 0.0, "skipped": True}
 
     extra = {}
-    if not int(os.environ.get("LVT_BENCH_SKIP_ENCODE", "0")):
-        try:
-            extra["bge_m3_encode"] = run_encode_leg()
+    for env_key, name, leg_key in (
+            ("LVT_BENCH_SKIP_ENCODE", "bge_m3_encode", "encode"),
+            ("LVT_BENCH_SKIP_8B", "llama3_8b_fp8", "8b")):
+        if int(os.environ.get(env_key, "0")):
+            continue
+        try:  # a dead leg must never suppress the primary metric line
+            extra[name] = run_leg_isolated(leg_key, num_prompts)
         except Exception as e:  # noqa: BLE001
             import traceback
             traceback.print_exc()
-            extra["bge_m3_encode"] = {"error": f"{type(e).__name__}: {e}"}
-
-    if not int(os.environ.get("LVT_BENCH_SKIP_8B", "0")):
-        # The 8B leg must never suppress the primary metric line.
-        try:
-            cfg8 = llama3_8b_config()
-            # 256 concurrent seqs: decode reads the 8 GB weight stack once
-            # per step regardless of batch, so the wider batch halves the
-            # per-token weight-read cost; 256 x 272-token KV (69.6k slots)
-            # still fits the 72.7k-slot cache.
-            llm8 = build_llm(cfg8, max_num_seqs=256, quantization="fp8",
-                             kv_cache_dtype="fp8")
-            n8 = max(num_prompts, 64)
-            r8 = run_workload(llm8, n8, 256, 16, "llama3-8b-fp8")
-            mfu = r8["total_tok_s"] * 2 * matmul_params(cfg8) / V5E_BF16_PEAK
-            extra["llama3_8b_fp8"] = dict(r8, mfu=round(mfu, 4))
-            del llm8
-        except Exception as e:  # noqa: BLE001
-            import traceback
-            traceback.print_exc()
-            extra["llama3_8b_fp8"] = {"error": f"{type(e).__name__}: {e}"}
+            extra[name] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
         "metric": "total_throughput_qwen2_1.5b_bf16_256in_16out",
-        "value": res["qwen2"]["total_tok_s"],
+        "value": qwen2["total_tok_s"],
         "unit": "tok/s/chip",
-        "vs_baseline": round(res["qwen2"]["total_tok_s"] / 16100.0, 3),
-        "extra": dict(qwen2=res["qwen2"], **extra),
+        "vs_baseline": round(qwen2["total_tok_s"] / 16100.0, 3),
+        "extra": dict(qwen2=qwen2, **extra),
     }))
 
 

@@ -302,11 +302,34 @@ class LLMEngine:
         self._deferred.clear()
         return outs
 
+    def wait_for_precompile(self, timeout: Optional[float] = None) -> int:
+        """Block until any background-compiling executables are live (no-op
+        for workers without AOT precompile). See
+        DecodingModelRunner.wait_for_precompile."""
+        worker = getattr(getattr(self, "executor", None), "worker", None)
+        fn = getattr(worker, "wait_for_precompile", None)
+        return fn(timeout) if fn is not None else 0
+
     def shutdown(self) -> None:
+        """Stop executor threads and release ALL device memory this engine
+        holds (weights, KV pages) — a following engine in the same process
+        gets the full HBM budget back."""
         if getattr(self, "profiler_hook", None) is not None:
             self.profiler_hook.close()
-        if getattr(self, "executor", None) is not None:
-            self.executor.shutdown_execute_loop()
+            self.profiler_hook = None
+        executor = getattr(self, "executor", None)
+        if executor is not None:
+            executor.shutdown_execute_loop()
+            workers = getattr(executor, "workers", None) \
+                or [getattr(executor, "worker", None)]
+            for w in workers:
+                if w is not None:
+                    try:
+                        w.shutdown()
+                    except Exception:  # noqa: BLE001 — best-effort free
+                        logger.warning("worker shutdown failed",
+                                       exc_info=True)
+            self.executor = None
 
     def __del__(self):
         try:

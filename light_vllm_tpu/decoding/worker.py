@@ -43,6 +43,17 @@ from light_vllm_tpu.utils import cdiv, get_dtype_size
 logger = init_logger(__name__)
 
 
+def _delete_device_arrays(tree) -> None:
+    """Eagerly free every jax.Array in a pytree (refcount drops alone can
+    lag behind GC cycles; .delete() returns the HBM now)."""
+    for leaf in jax.tree.leaves(tree):
+        if isinstance(leaf, jax.Array):
+            try:
+                leaf.delete()
+            except Exception:  # noqa: BLE001 — already deleted / donated
+                pass
+
+
 class CacheEngine:
     """Allocates device KV pages + host swap pages; executes swap/copy
     (reference: decoding/worker/cache_engine.py:15)."""
@@ -209,6 +220,14 @@ class CacheEngine:
             blocks = self._host_blocks_view(li)[cpu_ids]
             self.kv_caches[li] = scatter_blocks(
                 kv, jnp.asarray(blocks, kv.dtype), dev_ids, self.block_size)
+
+    def shutdown(self) -> None:
+        """Free the paged cache's HBM now (a second model in the same
+        process must be able to claim it)."""
+        self.drain_swaps()
+        _delete_device_arrays(self.kv_caches)
+        self.kv_caches = None
+        self.cpu_cache = None
 
 
 class DecodingModelRunner:
@@ -568,6 +587,44 @@ class DecodingModelRunner:
                 max_workers=1, thread_name_prefix="lvt-precompile")
             self._bg_pending = {s[0]: self._bg_pool.submit(build, s)
                                 for s in bg_specs}
+
+    def wait_for_precompile(self, timeout: Optional[float] = None) -> int:
+        """Block until the background multi-step compiles land (or
+        timeout). Returns the number of executables that finished. Lets a
+        caller (bench harness, latency-sensitive deploy) guarantee the fast
+        multi-step path is live before admitting traffic instead of
+        serving the single-step fallback through the measurement window."""
+        import concurrent.futures
+
+        pending = getattr(self, "_bg_pending", None)
+        if not pending:
+            return 0
+        concurrent.futures.wait(list(pending.values()), timeout=timeout)
+        n_done = sum(1 for f in pending.values() if f.done())
+        if n_done == len(pending):
+            self._bg_pending = None
+            pool = getattr(self, "_bg_pool", None)
+            if pool is not None:
+                pool.shutdown(wait=False)
+                self._bg_pool = None
+        return n_done
+
+    def shutdown(self) -> None:
+        """Drop every device-array reference this runner holds so XLA can
+        free HBM — required for running a second model in one process
+        (bench legs, notebook reloads). Compiled executables keep no
+        buffers, but params and the ms chain ring do."""
+        pool = getattr(self, "_bg_pool", None)
+        if pool is not None:
+            for f in (getattr(self, "_bg_pending", None) or {}).values():
+                f.cancel()
+            pool.shutdown(wait=True)  # an in-flight compile pins kv_caches
+            self._bg_pool = None
+            self._bg_pending = None
+        self._step_cache.clear()
+        self._ms_chain = None
+        _delete_device_arrays(self.params)
+        self.params = None
 
     def execute(self, model_input: DecodingModelInput, kv_caches):
         K = model_input.multi_step
@@ -1021,3 +1078,21 @@ class DecodingWorker(WorkerBase):
         out.execute_begin_ts = begin
         out.execute_end_ts = time.perf_counter()
         return out
+
+    def wait_for_precompile(self, timeout: Optional[float] = None) -> int:
+        """Block until background multi-step executables are live (see
+        DecodingModelRunner.wait_for_precompile)."""
+        if self.runner is None:
+            return 0
+        return self.runner.wait_for_precompile(timeout)
+
+    def shutdown(self) -> None:
+        """Release all device state (params, KV pages, ms ring) so a
+        subsequent engine in the same process gets the full HBM budget."""
+        if self.runner is not None:
+            self.runner.shutdown()
+            self.runner = None
+        if self.cache_engine is not None:
+            self.cache_engine.shutdown()
+            self.cache_engine = None
+        self.model = None

@@ -28,6 +28,11 @@ class LLM:
             engine_args, tokenizer_override=tokenizer_override)
         self.request_counter = Counter()
 
+    def shutdown(self) -> None:
+        """Stop engine threads and free all device memory (weights + KV).
+        Call before constructing another LLM in the same process."""
+        self.llm_engine.shutdown()
+
     # --- generation --------------------------------------------------------
     def generate(self, prompts: Union[PromptType, Sequence[PromptType]],
                  sampling_params: Optional[Union[Params, Sequence[Params]]]

@@ -102,3 +102,17 @@ class PrefillOnlyWorker(WorkerBase):
         return PrefillOnlyExecuteOutput(
             hidden_states=hidden, pooled_output=pooled,
             execute_begin_ts=begin, execute_end_ts=time.perf_counter())
+
+    def shutdown(self) -> None:
+        """Eagerly free the weights' HBM (see DecodingWorker.shutdown)."""
+        import jax
+
+        if self.runner is not None:
+            for leaf in jax.tree.leaves(self.runner.params):
+                if isinstance(leaf, jax.Array):
+                    try:
+                        leaf.delete()
+                    except Exception:  # noqa: BLE001
+                        pass
+            self.runner.params = None
+            self.runner = None
