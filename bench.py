@@ -16,12 +16,18 @@ llama3_8b_fp8 tok/s/chip + MFU (model FLOPs / chip bf16 peak; TPU v5e has
 no native fp8 MXU path, XLA upconverts). Skip with LVT_BENCH_SKIP_8B=1.
 """
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# SIGUSR1 dumps all thread stacks to stderr — debugging aid for hung legs
+# (the axon device-claim occasionally wedges; see run_leg_isolated).
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 # The bench workload is all-greedy: precompile only the greedy executable
 # variants (LVT_PRECOMPILE=auto would also compile the sampled ones).
@@ -263,21 +269,21 @@ def run_leg_isolated(leg, num_prompts, timeout=3000):
     if int(os.environ.get("LVT_BENCH_INPROC", "0")):
         return run_leg(leg, num_prompts)
     t0 = time.perf_counter()
+    # stderr inherits (live progress); only stdout (the sentinel line) is
+    # captured.
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--leg", leg,
          str(num_prompts)],
-        capture_output=True, text=True, timeout=timeout)
-    sys.stderr.write(proc.stderr)
+        stdout=subprocess.PIPE, text=True, timeout=timeout)
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith(_LEG_SENTINEL):
             out = json.loads(line[len(_LEG_SENTINEL):])
             sys.stderr.write(f"# leg {leg} done in "
                              f"{time.perf_counter() - t0:.0f}s\n")
             return out
-    tail = "\n".join(proc.stderr.strip().splitlines()[-8:])
     raise RuntimeError(
         f"leg {leg!r} subprocess exited rc={proc.returncode} without a "
-        f"result line; stderr tail:\n{tail}")
+        f"result line (see stderr above)")
 
 
 def main():

@@ -903,7 +903,14 @@ class DecodingWorker(WorkerBase):
         from light_vllm_tpu.decoding.processor import (
             static_precompile_specs, static_shapes_enabled)
 
-        if str(envs.LVT_MEASURED_SIZING) == "0":
+        mode = str(envs.LVT_MEASURED_SIZING)
+        if mode == "0":
+            return None
+        if mode != "1" \
+                and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+            # "auto": a remote-compile relay intermittently wedges the
+            # d2h fetch of trace-captured constants (RoPE caches) during
+            # lowering — use the analytic reserve there.
             return None
         if self.runner is None or self.runner.params is None \
                 or not static_shapes_enabled() or self.mesh is not None:

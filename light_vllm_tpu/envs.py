@@ -47,10 +47,12 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "LVT_PRECOMPILE_BG": lambda: os.environ.get("LVT_PRECOMPILE_BG", "1"),
     # KV sizing: measure the activation peak from the compiled largest
     # prefill executable's XLA memory analysis instead of the analytic
-    # reserve formula ("0" disables; the reference's analog is the
-    # dummy-batch profile run, gpu_worker.py:95-144).
+    # reserve formula ("0" disables, "1" forces, "auto" = on except over
+    # a remote-compile relay, whose d2h of trace-captured constants
+    # during lowering wedges intermittently; the reference's analog is
+    # the dummy-batch profile run, gpu_worker.py:95-144).
     "LVT_MEASURED_SIZING": lambda: os.environ.get(
-        "LVT_MEASURED_SIZING", "1"),
+        "LVT_MEASURED_SIZING", "auto"),
     # MoE expert-compute path: "grouped" (Pallas gmm) | "dense"
     # (masked-dense) | unset = auto by platform and batch size.
     "LVT_MOE_BACKEND": lambda: os.environ.get("LVT_MOE_BACKEND", None),

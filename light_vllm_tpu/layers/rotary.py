@@ -61,10 +61,24 @@ class RotaryEmbedding:
         self.is_neox_style = is_neox_style
         self.dtype = dtype
         cos, sin = self._compute_cos_sin_cache()
-        # [max_position, rotary_dim // 2] each, fp32 on host.
-        self._cos_np, self._sin_np = cos, sin
-        self.cos_cache = jnp.asarray(cos, dtype=jnp.float32)
-        self.sin_cache = jnp.asarray(sin, dtype=jnp.float32)
+        # [max_position, rotary_dim // 2] each, fp32 — kept as HOST numpy:
+        # a device-array attribute would be trace-captured as a jax.Array
+        # constant, and every later lowering then fetches it back d2h
+        # (mlir _array_mlir_constant_handler) — a pure waste, and over a
+        # remote-device relay that fetch can wedge compiles entirely. A
+        # numpy constant embeds host-side and uploads once per executable.
+        self._cos_np = np.ascontiguousarray(cos, dtype=np.float32)
+        self._sin_np = np.ascontiguousarray(sin, dtype=np.float32)
+
+    # host-numpy views (kept under the old device-cache names for tests /
+    # introspection)
+    @property
+    def cos_cache(self) -> np.ndarray:
+        return self._cos_np
+
+    @property
+    def sin_cache(self) -> np.ndarray:
+        return self._sin_np
 
     # --- cache construction (numpy, host) ---------------------------------
     def _inv_freq(self) -> np.ndarray:
@@ -88,8 +102,10 @@ class RotaryEmbedding:
         q_shape, k_shape = q.shape, k.shape
         q = q.reshape(q.shape[0], -1, self.head_dim)
         k = k.reshape(k.shape[0], -1, self.head_dim)
-        cos = self.cos_cache[positions][:, None, :]  # [T, 1, rd/2]
-        sin = self.sin_cache[positions][:, None, :]
+        # jnp.asarray of host numpy inside a trace embeds a host constant
+        # (no d2h at lowering; see __init__ comment).
+        cos = jnp.asarray(self._cos_np)[positions][:, None, :]  # [T,1,rd/2]
+        sin = jnp.asarray(self._sin_np)[positions][:, None, :]
         q = self._apply(q, cos, sin)
         k = self._apply(k, cos, sin)
         return q.reshape(q_shape), k.reshape(k_shape)

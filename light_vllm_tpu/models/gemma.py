@@ -201,8 +201,11 @@ class GemmaForCausalLM:
             and self.num_layers > self.scan_period
             and self.num_layers % self.scan_period == 0)
         # Gemma scales embeddings by sqrt(H), computed in the weight dtype
-        # (HF casts the normalizer to the embedding dtype).
-        self.embed_normalizer = jnp.asarray(H ** 0.5, dtype)
+        # (HF casts the normalizer to the embedding dtype). Host numpy, not
+        # a device array: device-array attributes become jax.Array
+        # constants the lowering then fetches back d2h (see rotary.py).
+        self.embed_normalizer = np.asarray(H ** 0.5).astype(
+            np.dtype(jnp.dtype(dtype)))
         self.final_logit_softcap = getattr(cfg, "final_logit_softcapping",
                                            None) if self.gemma2 else None
 
