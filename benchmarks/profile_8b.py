@@ -1,0 +1,177 @@
+"""Step-time breakdown for the Llama-3-8B FP8 bench leg (VERDICT r3 #2:
+"publish the step-time breakdown ... and attack the top item").
+
+Times the ACTUAL compiled step executables on real blobs captured from a
+live workload, plus truncated variants (forward-only, forward+logits) that
+XLA dead-code-eliminates at trace time, isolating:
+
+    prefill:  forward | +logits | +sampler (= full step)
+    decode :  K-step multi-step window | single decode step phases
+
+and reports per-phase MFU / HBM-roofline fractions. Usage:
+
+    python benchmarks/profile_8b.py            # 8B fp8 (bench north star)
+    LVT_PROFILE_MODEL=qwen2 python benchmarks/profile_8b.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("LVT_PRECOMPILE", "greedy")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/lvt_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from bench import (V5E_BF16_PEAK, build_llm, llama3_8b_config,  # noqa: E402
+                   matmul_params, qwen2_1_5b_config)
+
+V5E_HBM_BW = 819e9  # bytes/s
+
+
+def _time_fn(fn, args, kv_index, n_warm=2, n_timed=8):
+    """Median wall time of fn(*args); the donated kv (2nd arg) is threaded
+    through iterations via out[kv_index]. Returns (median_s, last_kv)."""
+    params, kv, blob = args
+    for _ in range(n_warm):
+        out = fn(params, kv, blob)
+        kv = out[kv_index]
+        jax.block_until_ready(kv)
+    times = []
+    for _ in range(n_timed):
+        t0 = time.perf_counter()
+        out = fn(params, kv, blob)
+        kv = out[kv_index]
+        jax.block_until_ready(kv)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), kv
+
+
+def main():
+    which = os.environ.get("LVT_PROFILE_MODEL", "8b")
+    if which == "8b":
+        cfg = llama3_8b_config()
+        llm = build_llm(cfg, max_num_seqs=256, quantization="fp8",
+                        kv_cache_dtype="fp8")
+        param_bytes = matmul_params(cfg) * 1  # fp8: 1 byte/param
+    else:
+        cfg = qwen2_1_5b_config()
+        llm = build_llm(cfg, max_num_seqs=128)
+        param_bytes = matmul_params(cfg) * 2  # bf16
+
+    from light_vllm_tpu.decoding.sampling_params import SamplingParams
+
+    engine = llm.llm_engine
+    worker = engine.executor.worker
+    runner = worker.runner
+    engine.wait_for_precompile()
+
+    # --- capture real model inputs from a live workload -------------------
+    records = []
+    orig_execute = runner.execute
+
+    def recording_execute(mi, kv):
+        records.append(dict(
+            multi_step=mi.multi_step, T=mi.T, S=mi.S, NT=mi.NT, P=mi.P,
+            num_prefill_seqs=mi.num_prefill_seqs,
+            decode_region=mi.decode_region, max_out=mi.max_out,
+            use_penalties=mi.use_penalties, use_topkp=mi.use_topkp,
+            num_logprobs=mi.num_logprobs,
+            has_prompt_tokens=mi.has_prompt_tokens,
+            prompt_len=mi.prompt_len, ban_len=mi.ban_len,
+            all_greedy=mi.all_greedy, has_plp=mi.has_plp, plp_k=mi.plp_k,
+            lp_width=mi.lp_width,
+            blob=np.asarray(mi.blob).copy()))
+        return orig_execute(mi, kv)
+
+    runner.execute = recording_execute
+    rng = np.random.default_rng(0)
+    vocab = engine.engine_config.model_config.get_vocab_size()
+    prompts = [{"prompt_token_ids":
+                rng.integers(10, vocab - 1000, size=256).tolist()}
+               for _ in range(64)]
+    params_sp = SamplingParams(temperature=0.0, max_tokens=16,
+                               ignore_eos=True, detokenize=False)
+    llm.generate(prompts, params_sp)
+    runner.execute = orig_execute
+
+    prefills = [r for r in records if r["num_prefill_seqs"] > 0]
+    ms_windows = [r for r in records
+                  if r["multi_step"] > 1 and r["num_prefill_seqs"] == 0
+                  and r["T"] == r["S"]]
+    if not prefills:
+        raise SystemExit("no prefill steps captured")
+    pre = max(prefills, key=lambda r: r["T"])
+    key = (pre["use_penalties"], pre["use_topkp"], pre["num_logprobs"],
+           pre["has_prompt_tokens"], pre["decode_region"],
+           min(pre["num_prefill_seqs"], 1), pre["T"], pre["S"], pre["NT"],
+           pre["P"], pre["max_out"], pre["prompt_len"], pre["ban_len"],
+           pre["all_greedy"], pre["has_plp"], pre["plp_k"],
+           pre["lp_width"])
+
+    kv = worker.cache_engine.kv_caches
+    blob = jnp.asarray(pre["blob"])
+    mp = matmul_params(cfg)
+    results = {}
+
+    # --- prefill phases ---------------------------------------------------
+    full_fn = runner._step_cache.get(key) or runner._make_step_fn(*key)
+    t_full, kv = _time_fn(full_fn, (runner.params, kv, blob), kv_index=3)
+    fwd_fn = runner._make_step_fn(*key, profile_phase="fwd")
+    t_fwd, kv = _time_fn(fwd_fn, (runner.params, kv, blob), kv_index=1)
+    lg_fn = runner._make_step_fn(*key, profile_phase="logits")
+    t_lg, kv = _time_fn(lg_fn, (runner.params, kv, blob), kv_index=1)
+
+    T = pre["T"]
+    flops_fwd = 2 * (mp - cfg["hidden_size"] * cfg["vocab_size"]) * T
+    flops_lm = 2 * cfg["hidden_size"] * cfg["vocab_size"] * pre["S"]
+    results["prefill"] = dict(
+        T=T, S=pre["S"],
+        full_ms=round(t_full * 1e3, 2),
+        fwd_ms=round(t_fwd * 1e3, 2),
+        logits_ms=round((t_lg - t_fwd) * 1e3, 2),
+        sampler_ms=round((t_full - t_lg) * 1e3, 2),
+        fwd_mfu=round(flops_fwd / t_fwd / V5E_BF16_PEAK, 3),
+        logits_mfu=round(flops_lm / max(t_lg - t_fwd, 1e-9)
+                         / V5E_BF16_PEAK, 3),
+        tok_s_step=round(T / t_full, 1))
+
+    # --- decode window ----------------------------------------------------
+    if ms_windows:
+        d = max(ms_windows, key=lambda r: r["S"])
+        K = d["multi_step"]
+        mkey = ("ms", d["use_topkp"], d["S"], d["P"], K, d["NT"],
+                d["max_out"], d["all_greedy"])
+        ms_fn = runner._step_cache.get(mkey)
+        if ms_fn is not None:
+            dblob = jnp.asarray(d["blob"])
+            t_ms, kv = _time_fn(ms_fn, (runner.params, kv, dblob), kv_index=1)
+            S = d["S"]
+            # per-step weight-read roofline: the whole stack once per step
+            t_w = param_bytes / V5E_HBM_BW
+            results["decode"] = dict(
+                K=K, S=S, window_ms=round(t_ms * 1e3, 2),
+                step_ms=round(t_ms / K * 1e3, 3),
+                gen_tok_s=round(K * S / t_ms, 1),
+                weight_read_roofline_ms=round(t_w * 1e3, 3),
+                roofline_frac=round(t_w / (t_ms / K), 3),
+                mfu=round(2 * mp * S * K / t_ms / V5E_BF16_PEAK, 3))
+
+    mfu_e2e_note = dict(
+        matmul_params=mp,
+        param_bytes_gib=round(param_bytes / 2**30, 2))
+    print(json.dumps({"model": which, "phases": results,
+                      **mfu_e2e_note}))
+
+
+if __name__ == "__main__":
+    main()

@@ -348,7 +348,13 @@ class DecodingModelRunner:
                       T: int, S: int, NT: int, P: int, max_out: int,
                       prompt_len: int, ban_len: int = 0,
                       all_greedy: bool = False, has_plp: bool = False,
-                      plp_k: int = 0, lp_width: int = 0):
+                      plp_k: int = 0, lp_width: int = 0,
+                      profile_phase: Optional[str] = None):
+        """profile_phase ('fwd' | 'logits') builds a TRUNCATED executable
+        — forward only, or forward+logits — for step-time breakdown
+        profiling (benchmarks/profile_8b.py); XLA dead-code-eliminates the
+        untraced tail so the timing isolates the phase. None (the serving
+        path) is unchanged. Truncated variants are single-chip only."""
         model = self.model
 
         def step(params, kv_caches, blob):
@@ -404,7 +410,11 @@ class DecodingModelRunner:
                 write_rows=w_rows)
             hidden, kv_caches = model(params, input_ids, positions,
                                       kv_caches, meta)
+            if profile_phase == "fwd":
+                return hidden.astype(jnp.float32).sum(), kv_caches
             logits = model.compute_logits(params, hidden, logits_indices)
+            if profile_phase == "logits":
+                return logits.astype(jnp.float32).sum(), kv_caches
             res = sampling_ops.sample(
                 logits, temperature, top_k, top_p, min_p, presence,
                 frequency, repetition, output_tokens, prompt_tokens, seeds,
@@ -428,6 +438,9 @@ class DecodingModelRunner:
                          if lp_width else None)
             return (packed, res.topk_logprobs, res.topk_ids, kv_caches,
                     plp, lp_logits)
+
+        if profile_phase is not None:
+            return jax.jit(step, donate_argnums=(1,))
 
         from jax.sharding import PartitionSpec as Psp
 
