@@ -145,6 +145,83 @@ def main():
                          / V5E_BF16_PEAK, 3),
         tok_s_step=round(T / t_full, 1))
 
+    # --- single decode step phases ---------------------------------------
+    dec_singles = [r for r in records
+                   if r["num_prefill_seqs"] == 0 and r["multi_step"] <= 1]
+    dec_src = dec_singles or ms_windows
+    if dec_src:
+        ds = max(dec_src, key=lambda r: r["S"])
+        dkey = (ds["use_penalties"], ds["use_topkp"], ds["num_logprobs"],
+                ds["has_prompt_tokens"], ds["decode_region"] or ds["S"],
+                0, ds["T"], ds["S"],
+                ds["NT"], ds["P"], ds["max_out"], ds["prompt_len"],
+                ds["ban_len"], ds["all_greedy"], ds["has_plp"],
+                ds["plp_k"], ds["lp_width"])
+        dsblob = jnp.asarray(ds["blob"])
+        dfull = runner._step_cache.get(dkey) or runner._make_step_fn(*dkey)
+        td_full, kv = _time_fn(dfull, (runner.params, kv, dsblob),
+                               kv_index=3)
+        dfwd = runner._make_step_fn(*dkey, profile_phase="fwd")
+        td_fwd, kv = _time_fn(dfwd, (runner.params, kv, dsblob),
+                              kv_index=1)
+        dlg = runner._make_step_fn(*dkey, profile_phase="logits")
+        td_lg, kv = _time_fn(dlg, (runner.params, kv, dsblob), kv_index=1)
+        results["decode_single"] = dict(
+            S=ds["S"],
+            full_ms=round(td_full * 1e3, 3),
+            fwd_ms=round(td_fwd * 1e3, 3),
+            logits_ms=round((td_lg - td_fwd) * 1e3, 3),
+            sampler_ms=round((td_full - td_lg) * 1e3, 3),
+            gen_tok_s=round(ds["S"] / td_full, 1))
+
+    # --- ablation: isolate attention-read and kv-write inside the step ---
+    # (LVT_PROFILE_ABLATE=1) Monkeypatch Attention.__call__ with (a) a
+    # write-only stub (kv write happens, attention read skipped) and (b) a
+    # full identity stub, then rebuild the fwd-phase executable: the
+    # deltas attribute the decode forward between matmuls+norms, kv write,
+    # and the attention read.
+    if dec_src and int(os.environ.get("LVT_PROFILE_ABLATE", "0")):
+        import light_vllm_tpu.decoding.attention as attn_mod
+
+        orig_call = attn_mod.Attention.__call__
+
+        def write_only(self, q, k, v, kv_cache, meta, layer_idx=None,
+                       scales=None):
+            T = q.shape[0]
+            kh = k.reshape(T, self.num_kv_heads, self.head_dim)
+            vh = v.reshape(T, self.num_kv_heads, self.head_dim)
+            k_s = v_s = None
+            if scales is not None:
+                k_s = scales["k_scale"].astype(jnp.float32)
+                v_s = scales["v_scale"].astype(jnp.float32)
+            kv_cache = self.backend.write_kv(kv_cache, kh, vh, meta,
+                                             layer_idx=layer_idx,
+                                             k_scale=k_s, v_scale=v_s)
+            return q, kv_cache
+
+        def identity(self, q, k, v, kv_cache, meta, layer_idx=None,
+                     scales=None):
+            return q, kv_cache
+
+        try:
+            attn_mod.Attention.__call__ = write_only
+            f_wo = runner._make_step_fn(*dkey, profile_phase="fwd")
+            t_wo, kv = _time_fn(f_wo, (runner.params, kv, dsblob),
+                                kv_index=1)
+            attn_mod.Attention.__call__ = identity
+            f_id = runner._make_step_fn(*dkey, profile_phase="fwd")
+            t_id, kv = _time_fn(f_id, (runner.params, kv, dsblob),
+                                kv_index=1)
+        finally:
+            attn_mod.Attention.__call__ = orig_call
+        results["decode_ablation"] = dict(
+            fwd_full_ms=round(td_fwd * 1e3, 2),
+            fwd_write_only_ms=round(t_wo * 1e3, 2),
+            fwd_no_attn_ms=round(t_id * 1e3, 2),
+            attn_read_ms=round((td_fwd - t_wo) * 1e3, 2),
+            kv_write_ms=round((t_wo - t_id) * 1e3, 2),
+            matmuls_norms_ms=round(t_id * 1e3, 2))
+
     # --- decode window ----------------------------------------------------
     if ms_windows:
         d = max(ms_windows, key=lambda r: r["S"])

@@ -90,6 +90,11 @@ class LinearBase(Layer):
             raw = dict(raw)
             raw.pop("kernel")
             raw.update(qt.to_params())
+            # e4m3 checkpoint bits on a platform executing int8 (see
+            # quant/fp8.py fp8_exec_mode): transcode to the method's
+            # storage before placement.
+            if hasattr(self.quant_method, "transcode_host"):
+                raw = self.quant_method.transcode_host(raw)
             return raw
         if ("scale" in self._specs and "scale" not in raw
                 and "kernel" in raw

@@ -45,9 +45,32 @@ class Int8LinearMethod(LinearMethodBase):
         return {"kernel": q.astype(np.int8), "scale": scale}
 
     def apply(self, layer, params, x):
+        from light_vllm_tpu.layers.base import StackedKernelRef
+
+        w = params["kernel"]
+        if isinstance(w, StackedKernelRef):
+            # Scan-over-layers stacked path: weight-only dequant (int8 ->
+            # bf16 x per-channel scale) in the stacked Pallas kernel.
+            # Mosaic has no native s8xs8 MXU lowering (measured: emulated,
+            # ~1000x off), so W8A8's activation quant buys nothing inside
+            # the scan — weight-only is numerically strictly better at
+            # the same speed.
+            from light_vllm_tpu.layers.quant.fp8 import _hoist_min_m
+            from light_vllm_tpu.ops.stacked_matmul_pallas import \
+                stacked_quantized_matmul
+            from light_vllm_tpu.platforms import current_platform
+
+            if x.shape[0] >= _hoist_min_m():
+                # prefill-sized batches: hoisted XLA dequant + native dot
+                # (see quant/fp8.py apply)
+                wd = (w.stack[w.layer_idx].astype(jnp.float32)
+                      * params["scale"]).astype(x.dtype)
+                return jnp.dot(x, wd, preferred_element_type=x.dtype)
+            return stacked_quantized_matmul(
+                x, w.stack, params["scale"], w.layer_idx,
+                interpret=not current_platform().is_tpu)
         xq, xscale = dynamic_quant_per_token(x)
-        acc = jnp.dot(xq, params["kernel"],
-                      preferred_element_type=jnp.int32)
+        acc = jnp.dot(xq, w, preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * xscale * params["scale"]
         return y.astype(x.dtype)
 

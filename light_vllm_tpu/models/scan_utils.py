@@ -53,13 +53,13 @@ def _indexed_enabled() -> bool:
 
 
 def _is_stacked_kernel(path, leaf) -> bool:
-    """Float/fp8 [L, K, N] linear kernels and [L, E, K, N] MoE expert
-    stacks — int8/int4 formats have their own apply() without a
-    StackedKernelRef branch and keep the slice path."""
+    """Float/fp8/int8 [L, K, N] linear kernels and [L, E, K, N] MoE
+    expert stacks — int4 keeps the slice path (its packed layout has no
+    StackedKernelRef branch)."""
     if not hasattr(leaf, "ndim"):
         return False
     if leaf.dtype not in (jnp.bfloat16, jnp.float16, jnp.float32,
-                          jnp.float8_e4m3fn):
+                          jnp.float8_e4m3fn, jnp.int8):
         return False
     last = path[-1]
     key = getattr(last, "key", None) or getattr(last, "name", None)

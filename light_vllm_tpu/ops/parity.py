@@ -196,7 +196,8 @@ def _check_stacked_matmul(rng, interpret: bool) -> float:
     return e
 
 
-def _check_stacked_quantized_matmul(rng, interpret: bool) -> float:
+def _check_stacked_quantized_matmul(rng, interpret: bool,
+                                    int8: bool = False) -> float:
     from light_vllm_tpu.ops.stacked_matmul_pallas import \
         stacked_quantized_matmul
 
@@ -204,16 +205,19 @@ def _check_stacked_quantized_matmul(rng, interpret: bool) -> float:
     x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
     wf = rng.standard_normal((L, K, N)) * 0.05
     amax = np.abs(wf[1]).max(axis=0)
-    scale = np.maximum(amax / 448.0, 1e-12).astype(np.float32)
-    wq = jnp.asarray(np.clip(wf / scale[None, None, :], -448, 448),
-                     jnp.float8_e4m3fn)
+    qmax = 127.0 if int8 else 448.0
+    scale = np.maximum(amax / qmax, 1e-12).astype(np.float32)
+    wc = np.clip(wf / scale[None, None, :], -qmax, qmax)
+    wq = jnp.asarray(np.round(wc), jnp.int8) if int8 \
+        else jnp.asarray(wc, jnp.float8_e4m3fn)
     got = stacked_quantized_matmul(x, wq, jnp.asarray(scale), jnp.int32(1),
                                    interpret=interpret)
     ref = jnp.dot(x.astype(jnp.float32),
                   wq[1].astype(jnp.float32) * scale[None, :])
     e = _err(got, ref)
     if e > 8e-2:
-        raise KernelParityError(f"stacked fp8 matmul: max err {e:.4f}")
+        kind = "int8" if int8 else "fp8"
+        raise KernelParityError(f"stacked {kind} matmul: max err {e:.4f}")
     return e
 
 
@@ -298,6 +302,8 @@ _CHECKS = {
     "kv_writer": _check_kv_writer,
     "stacked_matmul": _check_stacked_matmul,
     "stacked_fp8_matmul": _check_stacked_quantized_matmul,
+    "stacked_int8_matmul": lambda r, i: _check_stacked_quantized_matmul(
+        r, i, int8=True),
     "stacked_gated_matmul": _check_stacked_gated_matmul,
     "fp8_matmul": _check_quant_matmul,
     "grouped_matmul": _check_grouped_matmul,
