@@ -46,7 +46,12 @@ NEG_INF = -1e30
 
 SEQ_BLOCK = 8             # sequences per kernel instance (adaptive, see below)
 TARGET_CHUNK_TOKENS = 512  # per-sequence KV tokens fetched per chunk
-KV_BUF_BUDGET = 8 * 1024 * 1024  # double-buffered chunk scratch bytes
+# Double-buffered chunk scratch budget. Measured (8B shapes, S=256): the
+# kernel's cost scales with the PADDED [B, kvh, G_pad, R] panel the
+# batched mask/online-softmax sweeps, so growing B or R past the real
+# work (B=16/R=512 vs 8/256) LOWERED the 8B leg 6.1k -> 5.4k tok/s —
+# keep panels tight rather than fetch-rounds few.
+KV_BUF_BUDGET = 8 * 1024 * 1024
 
 
 def _decode_kernel(
@@ -277,7 +282,14 @@ def paged_attention_decode(
         ppf = pages_per_fetch
     # Pad the GQA group up to the sublane tile so q blocks are tileable;
     # padded rows cost nothing (decode attention is overhead-bound).
-    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    # q rides in f32 so the G axis tiles at sublane 8 instead of bf16's
+    # 16: every kernel vector op (mask, online softmax) and score/PV dot
+    # sweeps the PADDED [B, kvh, G_pad, R] panel, so at G=4 (Llama-3-8B
+    # GQA) halving G_pad halves the dominant VPU work. q is upcast to f32
+    # inside the kernel anyway; the extra q bytes are noise next to KV.
+    in_dtype = q.dtype
+    q = q.astype(jnp.float32)
+    sublane = 8
     G_pad = max(cdiv(G, sublane) * sublane, sublane)
     q_grouped = q.reshape(S, kvh, G, d)
     if G_pad != G:
@@ -340,6 +352,7 @@ def paged_attention_decode(
         interpret=interpret,
     )
     out = kernel(block_tables, seq_lens, layer_arr, q_grouped, sl_vmem, kv)
+    out = out.astype(in_dtype)  # kernel panel rides f32 (sublane 8)
     if packed:
         return out[:S, :, :G, 64:].reshape(S, h, d)
     return out[:S, :, :G, :].reshape(S, h, d)
