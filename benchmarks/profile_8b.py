@@ -212,6 +212,35 @@ def main():
             f_id = runner._make_step_fn(*dkey, profile_phase="fwd")
             t_id, kv = _time_fn(f_id, (runner.params, kv, dsblob),
                                 kv_index=1)
+            # (c) additionally zero out the stacked matmuls: what remains
+            # is pure per-layer glue (norms, rope, residuals, reshapes,
+            # scan machinery).
+            import light_vllm_tpu.ops.stacked_matmul_pallas as smp
+
+            orig_q = smp.stacked_quantized_matmul
+            orig_qg = smp.stacked_quantized_matmul_gated
+            orig_m = smp.stacked_matmul
+
+            def zq(x, w, s, li, **kw):
+                return jnp.zeros((x.shape[0], w.shape[2]), x.dtype)
+
+            def zqg(x, w, s, li, act="silu", **kw):
+                return jnp.zeros((x.shape[0], w.shape[2] // 2), x.dtype)
+
+            def zm(x, w, li, **kw):
+                return jnp.zeros((x.shape[0], w.shape[2]), x.dtype)
+
+            smp.stacked_quantized_matmul = zq
+            smp.stacked_quantized_matmul_gated = zqg
+            smp.stacked_matmul = zm
+            try:
+                f_glue = runner._make_step_fn(*dkey, profile_phase="fwd")
+                t_glue, kv = _time_fn(f_glue, (runner.params, kv, dsblob),
+                                      kv_index=1)
+            finally:
+                smp.stacked_quantized_matmul = orig_q
+                smp.stacked_quantized_matmul_gated = orig_qg
+                smp.stacked_matmul = orig_m
         finally:
             attn_mod.Attention.__call__ = orig_call
         results["decode_ablation"] = dict(
@@ -220,7 +249,8 @@ def main():
             fwd_no_attn_ms=round(t_id * 1e3, 2),
             attn_read_ms=round((td_fwd - t_wo) * 1e3, 2),
             kv_write_ms=round((t_wo - t_id) * 1e3, 2),
-            matmuls_norms_ms=round(t_id * 1e3, 2))
+            glue_only_ms=round(t_glue * 1e3, 2),
+            matmuls_ms=round((t_id - t_glue) * 1e3, 2))
 
     # --- decode window ----------------------------------------------------
     if ms_windows:

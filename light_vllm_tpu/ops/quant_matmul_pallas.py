@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from light_vllm_tpu.ops.fp8_cast import upcast_kernel_operand
 from light_vllm_tpu.utils import cdiv
 
 
@@ -28,13 +29,17 @@ def _qmm_kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *, n_k: int):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[:].astype(jnp.bfloat16)
+    # fp8 routes through the bitwise VPU path (Mosaic's emulated e4m3
+    # convert is ~11 cyc/elem — see ops/fp8_cast.py); int8 is native.
+    w = upcast_kernel_operand(w_ref[:], jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
     def _():
+        # scale_ref is [1, block_n] (2-D so Mosaic's lane layout matches
+        # XLA's padded layout for the f32 vector); broadcasts over rows.
         o_ref[:] = (acc_ref[:] * scale_ref[:].astype(jnp.float32)
                     ).astype(o_ref.dtype)
 
@@ -62,7 +67,7 @@ def quantized_matmul(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k, block_n), lambda t, n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n,), lambda t, n, k: (n,),
+            pl.BlockSpec((1, block_n), lambda t, n, k: (0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_t, block_n), lambda t, n, k: (t, n),
@@ -72,5 +77,5 @@ def quantized_matmul(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(x, w, scale)
+    )(x, w, scale.reshape(1, N))
     return out
