@@ -33,6 +33,18 @@ class LLM:
         Call before constructing another LLM in the same process."""
         self.llm_engine.shutdown()
 
+    # --- tokenizer access (reference: entrypoints/llm.py:61-77) ------------
+    def get_tokenizer(self) -> Any:
+        """The underlying HF tokenizer."""
+        return self.llm_engine.tokenizer.tokenizer
+
+    def set_tokenizer(self, tokenizer: Any) -> None:
+        """Swap the HF tokenizer (e.g. one with added special tokens).
+        The wrapper is re-initialized in place so every component holding
+        a reference (output processor, request processor) sees the new
+        tokenizer and its recomputed cached special-token attributes."""
+        self.llm_engine.tokenizer.__init__(tokenizer=tokenizer)
+
     # --- generation --------------------------------------------------------
     def generate(self, prompts: Union[PromptType, Sequence[PromptType]],
                  sampling_params: Optional[Union[Params, Sequence[Params]]]
