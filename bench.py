@@ -244,7 +244,11 @@ def run_leg(leg, num_prompts):
     if leg == "parity":
         return {k: float(v) for k, v in run_parity_gate().items()}
     if leg == "qwen2":
-        llm = build_llm(qwen2_1_5b_config(), max_num_seqs=128)
+        # max_num_seqs = the full request count: all 256 sequences decode
+        # in one batch (weight reads amortize over the widest batch) and
+        # prefill admission never waits on a decode wave — measured
+        # 35.6k tok/s vs 34.4k at 128, p50 TTFT 0.73s vs 1.07s.
+        llm = build_llm(qwen2_1_5b_config(), max_num_seqs=256)
         r = run_workload(llm, num_prompts, 256, 16, "qwen2-1.5b")
         llm.shutdown()
         return r
