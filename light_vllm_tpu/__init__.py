@@ -51,3 +51,7 @@ def __getattr__(name):
 __all__ = ["LLM", "LLMEngine", "SamplingParams", "TextPrompt", "TokensPrompt",
            "ModelRegistry", "EngineArgs", "DataParallelLLM", "Logprob",
            "__version__"]
+
+
+def __dir__():
+    return sorted(set(globals()) | set(__all__))
