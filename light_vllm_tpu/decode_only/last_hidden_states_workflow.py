@@ -16,6 +16,7 @@ class DecodeOnlyLastHiddenStatesWorkflow(PrefillOnlyWorkflow):
     Worker = ("light_vllm_tpu.decode_only.worker:"
               "DecodeOnlyEncoderWorker")
     attn_type = "DECODER"
+    pooling = "last_norm"
 
     @classmethod
     def from_engine_args(cls, engine_args: dict):

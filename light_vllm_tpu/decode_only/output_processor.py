@@ -27,12 +27,21 @@ class LastHiddenStatesOutputProcessor(OutputProcessor):
                  ) -> List[EmbeddingRequestOutput]:
         outputs = []
         if scheduler_output.scheduled_requests:
-            hidden = np.asarray(execute_output.hidden_states)  # [B, L, H]
+            dense = None
+            if execute_output.dense_vecs is not None:
+                # Last-token pooled + normalized on device (workflow
+                # pooling="last_norm"): [B, H] float32 only.
+                dense = np.asarray(execute_output.dense_vecs)
+            else:
+                hidden = np.asarray(execute_output.hidden_states)
         for i, r in enumerate(scheduler_output.scheduled_requests):
-            n = r.num_new_tokens()
-            vec = hidden[i, n - 1].astype(np.float32)
-            if self.normalize:
-                vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
+            if dense is not None:
+                vec = dense[i]
+            else:
+                n = r.num_new_tokens()
+                vec = hidden[i, n - 1].astype(np.float32)
+                if self.normalize:
+                    vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
             outputs.append(EmbeddingRequestOutput(
                 request_id=r.request_id, finished=True, embedding=vec,
                 prompt_token_ids=r.inputs.prompt_token_ids))

@@ -30,5 +30,6 @@ class DecodeOnlyEncoderWorker(PrefillOnlyWorker):
                 return self.inner.encode_forward(p, input_ids, positions,
                                                  mask)
 
-        self.runner = PrefillOnlyModelRunner(_EncoderView(model), self.mesh)
+        self.runner = PrefillOnlyModelRunner(_EncoderView(model), self.mesh,
+                                             pooling=self.pooling)
         self.runner.prepare(params)

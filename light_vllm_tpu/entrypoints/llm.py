@@ -42,7 +42,25 @@ class LLM:
         """Swap the HF tokenizer (e.g. one with added special tokens).
         The wrapper is re-initialized in place so every component holding
         a reference (output processor, request processor) sees the new
-        tokenizer and its recomputed cached special-token attributes."""
+        tokenizer and its recomputed cached special-token attributes.
+
+        Must be called between generate()/encode() calls: in-flight
+        sequences carry incremental-detokenizer state (prev tokens,
+        offsets) computed under the old vocabulary, and the in-place
+        swap retroactively changes eos/special-id caches they rely on."""
+        from light_vllm_tpu.core.processor.tokenizer import Tokenizer
+
+        if isinstance(tokenizer, Tokenizer):
+            # Accept an already-wrapped tokenizer (reference special-cases
+            # its Cached* classes the same way) — nesting would break
+            # callers that invoke the raw HF tokenizer directly, e.g. the
+            # reranker's pair encoding.
+            tokenizer = tokenizer.tokenizer
+        if self.llm_engine.has_unfinished_requests():
+            raise RuntimeError(
+                "set_tokenizer() with unfinished requests in the engine: "
+                "in-flight sequences would detokenize under a stale "
+                "vocabulary; drain or abort them first")
         self.llm_engine.tokenizer.__init__(tokenizer=tokenizer)
 
     # --- generation --------------------------------------------------------

@@ -75,8 +75,12 @@ class PrefillOnlyModelInputBuilder(ModelInputBuilder):
             mask[i, :len(ids)] = 1
         positions = np.broadcast_to(np.arange(L, dtype=np.int32),
                                     (Bp, L)).copy()
+        # seq_lens padded to the B bucket so it can feed the jitted
+        # forward (on-device last-token pooling) without adding shapes.
+        seq_lens_padded = np.zeros((Bp,), dtype=np.int32)
+        seq_lens_padded[:B] = seq_lens
         model_input = ModelInputForEncoder(
             input_ids=input_ids, positions=positions, mask=mask,
-            num_real_requests=B, seq_lens=seq_lens)
+            num_real_requests=B, seq_lens=seq_lens_padded)
         return ExecuteInput(worker_input=PrefillOnlyWorkerInput(),
                             model_input=model_input)

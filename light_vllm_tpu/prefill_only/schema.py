@@ -62,7 +62,16 @@ class PrefillOnlyWorkerInput(WorkerInput):
 
 @dataclass
 class PrefillOnlyExecuteOutput(ExecuteOutput):
-    """hidden_states: [B, L, H] device array; pooled: optional [B, H]."""
+    """hidden_states: [B, L, H] device array; pooled: optional [B, H];
+    dense_vecs: optional [B, H] float32 pooled-and-normalized embeddings
+    computed ON DEVICE inside the jitted forward.
+
+    dense_vecs exists so the retriever/embedder paths never ship the full
+    [B, L, H] hidden block to host: at BGE-M3 shape (64×512×1024) that is
+    ~134 MB per batch over the device link vs 256 KB for the vectors —
+    measured as the difference between 10.4k and >40k tok/s on the encode
+    leg (r4→r5)."""
 
     hidden_states: Optional[object] = None
     pooled_output: Optional[object] = None
+    dense_vecs: Optional[object] = None

@@ -26,41 +26,93 @@ logger = init_logger(__name__)
 
 class PrefillOnlyModelRunner:
     """Wraps the pure model forward in jit (reference: prefill_only
-    ModelRunner.execute_model = model(**inputs))."""
+    ModelRunner.execute_model = model(**inputs)).
 
-    def __init__(self, model, mesh=None) -> None:
+    `pooling` moves the embedding reduction INTO the jitted forward so only
+    a [B, H] float32 block crosses the device link instead of [B, L, H]
+    (the r4 encode leg spent ~20 of its 25 s shipping full hidden states to
+    host — see PrefillOnlyExecuteOutput.dense_vecs):
+      - "none":      raw hidden states returned (encode_only API contract)
+      - "cls_norm":  L2-normalized CLS vector (BGE-M3 dense retrieval)
+      - "last_norm": L2-normalized last-real-token vector (decoder-as-
+                     embedder, gte-Qwen style)
+      - "score":     model-computed pooled_output only (cross-encoder
+                     reranker scalar scores)
+    """
+
+    def __init__(self, model, mesh=None, pooling: str = "none") -> None:
         self.model = model
         self.mesh = mesh
+        self.pooling = pooling
         self._jit_forward = None
+        # DP-fleet workers pin a non-default chip: inputs must follow the
+        # params there (jnp.asarray would land them on device 0).
+        self._device = None
+        if mesh is not None and mesh.devices.size == 1:
+            dev = mesh.devices.flat[0]
+            import jax as _jax
+            if dev != _jax.devices()[0]:
+                self._device = dev
 
     def prepare(self, params) -> None:
         self.params = params
+        pooling = self.pooling
 
-        def fwd(params, input_ids, positions, mask, token_type_ids):
-            return self.model(params, input_ids, positions, mask,
-                              token_type_ids=token_type_ids)
+        def fwd(params, input_ids, positions, mask, token_type_ids,
+                seq_lens):
+            out = self.model(params, input_ids, positions, mask,
+                             token_type_ids=token_type_ids)
+            hidden = out["hidden_states"] if isinstance(out, dict) else out
+            pooled = out.get("pooled_output") if isinstance(out, dict) \
+                else None
+            if pooling == "none":
+                return {"hidden_states": hidden, "pooled_output": pooled}
+            if pooling == "score":
+                return {"pooled_output": pooled}
+            if pooling == "cls_norm":
+                vec = hidden[:, 0].astype(jnp.float32)
+            elif pooling == "last_norm":
+                L = hidden.shape[1]
+                idx = jnp.clip(seq_lens - 1, 0, L - 1)  # [Bp], padded
+                vec = jnp.take_along_axis(
+                    hidden, idx[:, None, None], axis=1)[:, 0]
+                vec = vec.astype(jnp.float32)
+            else:
+                raise ValueError(f"unknown pooling {pooling!r}")
+            norms = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+            return {"dense_vecs": vec / jnp.maximum(norms, 1e-12)}
 
         self._jit_forward = jax.jit(fwd)
 
+    def _to_dev(self, x):
+        if self._device is not None:
+            return jax.device_put(x, self._device)
+        return jnp.asarray(x)
+
     def execute_model(self, model_input) -> Dict[str, Any]:
+        ids = self._to_dev(model_input.input_ids)
         tti = model_input.token_type_ids
-        if tti is None:
-            tti = jnp.zeros_like(jnp.asarray(model_input.input_ids))
-        out = self._jit_forward(self.params,
-                                jnp.asarray(model_input.input_ids),
-                                jnp.asarray(model_input.positions),
-                                jnp.asarray(model_input.mask),
-                                tti)
+        tti = jnp.zeros_like(ids) if tti is None else self._to_dev(tti)
+        mask = self._to_dev(model_input.mask)
+        seq_lens = model_input.seq_lens
+        if seq_lens is None:
+            seq_lens = jnp.sum(mask, axis=-1, dtype=jnp.int32)
+        else:
+            seq_lens = self._to_dev(seq_lens)
+        out = self._jit_forward(self.params, ids,
+                                self._to_dev(model_input.positions),
+                                mask, tti, seq_lens)
         return out
 
 
 class PrefillOnlyWorker(WorkerBase):
 
     def __init__(self, engine_config, attn_backend=None,
-                 model_cls=None) -> None:
+                 model_cls=None, pooling: str = "none") -> None:
         self.engine_config = engine_config
         self.attn_backend = attn_backend
         self.model_cls = model_cls
+        self.pooling = pooling
         self.mesh = None
         self.runner: Optional[PrefillOnlyModelRunner] = None
 
@@ -72,8 +124,28 @@ class PrefillOnlyWorker(WorkerBase):
         model_path = ModelRegistry.get_model_path(
             engine.engine_config.model_config.architectures)
         model_cls = lazy_import(model_path)
-        worker = cls(engine.engine_config, engine.attn_backend, model_cls)
+        worker = cls(engine.engine_config, engine.attn_backend, model_cls,
+                     pooling=getattr(engine.workflow, "pooling", "none"))
         worker.init_device()
+        worker.load_model()
+        return worker
+
+    @classmethod
+    def from_engine_with_device(cls, engine, device) -> "PrefillOnlyWorker":
+        """One DP-fleet worker pinned to a single chip: a 1-device Mesh
+        replaces the reference's per-thread CUDA_VISIBLE_DEVICES
+        (reference: prefill_only/executor/gpu_data_parallelism_executor.py:
+        30-44)."""
+        from light_vllm_tpu.core.registry import ModelRegistry
+        from light_vllm_tpu.core.workflow import lazy_import
+
+        model_path = ModelRegistry.get_model_path(
+            engine.engine_config.model_config.architectures)
+        model_cls = lazy_import(model_path)
+        worker = cls(engine.engine_config, engine.attn_backend, model_cls,
+                     pooling=getattr(engine.workflow, "pooling", "none"))
+        worker.mesh = build_mesh(tensor_parallel_size=1,
+                                 data_parallel_size=1, devices=[device])
         worker.load_model()
         return worker
 
@@ -90,17 +162,18 @@ class PrefillOnlyWorker(WorkerBase):
                                attn_backend=self.attn_backend)
         loader = get_model_loader(self.engine_config.load_config)
         params = loader.load_params(model, self.engine_config, self.mesh)
-        self.runner = PrefillOnlyModelRunner(model, self.mesh)
+        self.runner = PrefillOnlyModelRunner(model, self.mesh,
+                                             pooling=self.pooling)
         self.runner.prepare(params)
         logger.info("model loaded in %.1fs", time.perf_counter() - t0)
 
     def __call__(self, execute_input: ExecuteInput) -> PrefillOnlyExecuteOutput:
         begin = time.perf_counter()
         out = self.runner.execute_model(execute_input.model_input)
-        hidden = out["hidden_states"] if isinstance(out, dict) else out
-        pooled = out.get("pooled_output") if isinstance(out, dict) else None
         return PrefillOnlyExecuteOutput(
-            hidden_states=hidden, pooled_output=pooled,
+            hidden_states=out.get("hidden_states"),
+            pooled_output=out.get("pooled_output"),
+            dense_vecs=out.get("dense_vecs"),
             execute_begin_ts=begin, execute_end_ts=time.perf_counter())
 
     def shutdown(self) -> None:

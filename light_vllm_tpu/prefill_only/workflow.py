@@ -16,6 +16,10 @@ class PrefillOnlyWorkflow(Workflow):
     Executor = "light_vllm_tpu.prefill_only.executor:PrefillOnlyExecutor"
     Worker = "light_vllm_tpu.prefill_only.worker:PrefillOnlyWorker"
     attn_type = "ENCODER"
+    # On-device embedding reduction ("none" | "cls_norm" | "last_norm" |
+    # "score") — see PrefillOnlyModelRunner. "none" keeps the raw
+    # [B, L, H] hidden-states contract of the encode_only API.
+    pooling = "none"
 
     @classmethod
     def from_engine(cls, engine):

@@ -11,3 +11,5 @@ class RerankerWorkflow(PrefillOnlyWorkflow):
     OutputProcessor = ("light_vllm_tpu.reranker.processor:"
                        "RerankerOutputProcessor")
     attn_type = "ENCODER"
+    # Only the model-computed [B] scores leave the device.
+    pooling = "score"

@@ -6,6 +6,9 @@ from light_vllm_tpu.encode_only.workflow import EncodeOnlyWorkflow
 class RetrieverWorkflow(EncodeOnlyWorkflow):
     OutputProcessor = ("light_vllm_tpu.retriever.output_processor:"
                        "RetrieverOutputProcessor")
+    # CLS-pool + L2-normalize inside the jitted forward; only [B, H]
+    # float32 vectors cross the device link (not [B, L, H] hidden states).
+    pooling = "cls_norm"
 
 
 class RetrieverDecodeOnlyWorkflow(EncodeOnlyWorkflow):
@@ -15,3 +18,4 @@ class RetrieverDecodeOnlyWorkflow(EncodeOnlyWorkflow):
     OutputProcessor = ("light_vllm_tpu.decode_only.output_processor:"
                        "LastHiddenStatesOutputProcessor")
     attn_type = "DECODER"
+    pooling = "last_norm"

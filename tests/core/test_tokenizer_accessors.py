@@ -49,3 +49,27 @@ def test_get_set_tokenizer_roundtrip():
     ids_b = list(out_b.outputs[0].token_ids)
     assert ids_b == ids  # same model, same greedy tokens
     assert out_b.outputs[0].text.split() == [f"x{i}" for i in ids_b]
+
+
+def test_set_tokenizer_unwraps_wrapped_tokenizer():
+    """Passing an already-wrapped Tokenizer must not nest wrappers
+    (the wrapper is not callable; nesting breaks reranker pair
+    encoding)."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from light_vllm_tpu.core.processor.tokenizer import Tokenizer
+
+    cfg = Qwen2Config(**{k: v for k, v in tiny_qwen2_config().items()
+                         if k != "architectures"})
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(cfg).eval()
+    tok = make_word_tokenizer(cfg.vocab_size)
+    llm = make_llm(hf, tokenizer_override=tok)
+
+    wrapped = Tokenizer(tokenizer=make_word_tokenizer(cfg.vocab_size))
+    llm.set_tokenizer(wrapped)
+    # Unwrapped: get_tokenizer returns the raw HF tokenizer, not the
+    # wrapper, and the engine wrapper holds no nested Tokenizer.
+    assert llm.get_tokenizer() is wrapped.tokenizer
+    assert not isinstance(llm.llm_engine.tokenizer.tokenizer, Tokenizer)
