@@ -205,8 +205,11 @@ def run_encode_leg(num_docs=512, seq_len=512):
     reqs = [{"prompt_token_ids":
              rng.integers(3, 250000, size=seq_len).tolist()}
             for _ in range(num_docs)]
+    # Warmup must cover the (64, 512) batch bucket the main run hits —
+    # an 8-doc warmup leaves the big executable to compile inside rep0
+    # (measured: rep0 9.5k vs rep1 57.1k tok/s).
     t_warm = time.perf_counter()
-    warm = llm.encode(reqs[:8])
+    warm = llm.encode(reqs[:64])
     assert all(o.embedding is not None for o in warm)
     warmup_s = time.perf_counter() - t_warm
     # Two timed repeats, best reported (like the decode legs): the remote
@@ -230,6 +233,118 @@ def run_encode_leg(num_docs=512, seq_len=512):
                 req_s=round(tok_s / seq_len, 2),
                 warmup_s=round(warmup_s, 1),
                 repeats=[round(r, 1) for r in repeats])
+
+
+def run_arrivals_case(llm, prompts, rate, output_len, tag):
+    """Open-loop serving: Poisson arrivals at `rate` req/s injected while
+    the engine steps; per-request TTFT/TPOT measured from ARRIVAL time
+    (reference workload family:
+    benchmarks/benchmark_chunked_prefill_throughput.py — ShareGPT-sampled
+    arrivals; the all-requests-at-t0 legs above measure batch throughput,
+    not serving latency)."""
+    from light_vllm_tpu.decoding.sampling_params import SamplingParams
+
+    params = SamplingParams(temperature=0.0, max_tokens=output_len,
+                            ignore_eos=True, detokenize=False)
+    engine = llm.llm_engine
+    n = len(prompts)
+    rng = np.random.default_rng(7)
+    arrive = np.cumsum(rng.exponential(1.0 / rate, size=n))
+    sub_t, first_tok, done_t = {}, {}, {}
+    sent = 0
+    t0 = time.perf_counter()
+    while sent < n or engine.has_unfinished_requests():
+        now = time.perf_counter() - t0
+        while sent < n and arrive[sent] <= now:
+            rid = f"arr-{sent}"
+            engine.add_request(rid, prompts[sent], params)
+            sub_t[rid] = arrive[sent]
+            sent += 1
+        if not engine.has_unfinished_requests():
+            time.sleep(min(max(arrive[sent] - now, 0.0), 0.005))
+            continue
+        outs = engine.step()
+        now = time.perf_counter() - t0
+        for o in outs:
+            rid = o.request_id
+            if rid not in first_tok and o.outputs and \
+                    o.outputs[0].token_ids:
+                first_tok[rid] = now - sub_t[rid]
+            if o.finished:
+                done_t[rid] = now
+    elapsed = time.perf_counter() - t0
+    ttfts = np.sort(np.array(list(first_tok.values())))
+    tpots = np.array([
+        (done_t[r] - sub_t[r] - first_tok[r]) / max(output_len - 1, 1)
+        for r in done_t])
+    res = dict(
+        rate_req_s=round(rate, 1),
+        p50_ttft_s=round(float(np.percentile(ttfts, 50)), 3),
+        p99_ttft_s=round(float(np.percentile(ttfts, 99)), 3),
+        mean_tpot_ms=round(float(tpots.mean() * 1e3), 1),
+        p99_tpot_ms=round(float(np.percentile(tpots, 99) * 1e3), 1),
+        total_s=round(elapsed, 2),
+        req_s=round(n / elapsed, 2))
+    sys.stderr.write(
+        f"# [arrivals:{tag}] {n} reqs @ {rate:.0f}/s: p50 TTFT "
+        f"{res['p50_ttft_s']}s p99 {res['p99_ttft_s']}s, TPOT "
+        f"{res['mean_tpot_ms']}ms (p99 {res['p99_tpot_ms']}ms), "
+        f"{res['req_s']} req/s over {res['total_s']}s\n")
+    return res
+
+
+def run_arrivals_leg(num_prompts=256, input_len=256, output_len=16):
+    """Serving-latency leg: Poisson arrivals at ~0.8x the measured closed-
+    loop max (132 req/s on this chip, BENCH_r04), chunked prefill OFF vs
+    ON, plus a shared-prefix workload with prefix caching ON — the first
+    hardware numbers for both policies (VERDICT r4 #3)."""
+    from light_vllm_tpu import LLM
+    from light_vllm_tpu.decoding.sampling_params import SamplingParams
+
+    rate = float(os.environ.get("LVT_BENCH_ARRIVAL_RATE", "105"))
+    cfg = qwen2_1_5b_config()
+    rng = np.random.default_rng(0)
+    vocab = cfg["vocab_size"]
+
+    def rand_prompts(n, length):
+        return [{"prompt_token_ids": rng.integers(
+            10, vocab - 1000, size=length).tolist()} for _ in range(n)]
+
+    results = {}
+    for tag, chunked, apc, prompts in (
+            ("chunked_off", False, False,
+             rand_prompts(num_prompts, input_len)),
+            ("chunked_on", True, False,
+             rand_prompts(num_prompts, input_len)),
+            # shared 192-token prefix + 64 unique: prefix caching skips
+            # 75% of prefill compute after the first request.
+            ("shared_prefix_apc", False, True, [
+                {"prompt_token_ids":
+                 SHARED_PREFIX + rng.integers(
+                     10, vocab - 1000, size=input_len - 192).tolist()}
+                for _ in range(num_prompts)])):
+        os.environ["LVT_BENCH_CHUNKED"] = "1" if chunked else "0"
+        llm = LLM(hf_config=cfg, load_format="dummy", dtype="bfloat16",
+                  max_model_len=2048, block_size=32, max_num_seqs=256,
+                  enable_chunked_prefill=chunked,
+                  enable_prefix_caching=apc,
+                  scheduling=os.environ.get("LVT_BENCH_SCHEDULING",
+                                            "async"),
+                  max_num_batched_tokens=2048, num_scheduler_steps=8,
+                  swap_space=1.0)
+        params = SamplingParams(temperature=0.0, max_tokens=output_len,
+                                ignore_eos=True, detokenize=False)
+        llm.llm_engine.wait_for_precompile()
+        warm = llm.generate(rand_prompts(39, input_len), params)
+        assert all(len(o.outputs[0].token_ids) == output_len
+                   for o in warm)
+        results[tag] = run_arrivals_case(llm, prompts, rate, output_len,
+                                         tag)
+        llm.shutdown()
+    return results
+
+
+SHARED_PREFIX = list(range(100, 292))  # fixed 192-token common prefix
 
 
 def run_parity_gate():
@@ -262,6 +377,8 @@ def run_leg(leg, num_prompts):
         return r
     if leg == "encode":
         return run_encode_leg()
+    if leg == "arrivals":
+        return run_arrivals_leg()
     if leg == "8b":
         cfg8 = llama3_8b_config()
         # 256 concurrent seqs: decode reads the 8 GB weight stack once
@@ -281,7 +398,7 @@ def run_leg(leg, num_prompts):
 
 _LEG_SENTINEL = "LVT_LEG_RESULT:"
 _LEG_TIMEOUT_S = {"parity": 1500, "qwen2": 1500, "encode": 1200,
-                  "8b": 2100}
+                  "8b": 2100, "arrivals": 1800}
 
 
 def run_leg_isolated(leg, num_prompts, retries=2):
@@ -393,6 +510,7 @@ def main():
     extra = {}
     for env_key, name, leg_key in (
             ("LVT_BENCH_SKIP_ENCODE", "bge_m3_encode", "encode"),
+            ("LVT_BENCH_SKIP_ARRIVALS", "arrivals", "arrivals"),
             ("LVT_BENCH_SKIP_8B", "llama3_8b_fp8", "8b")):
         if int(os.environ.get(env_key, "0")):
             continue

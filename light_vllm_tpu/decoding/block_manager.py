@@ -80,8 +80,15 @@ class NaiveBlockAllocator:
 
     def __init__(self, num_blocks: int, first_id: int = 1) -> None:
         self.num_blocks = num_blocks
+        # Descending initial order: pop() from the tail then hands out
+        # ASCENDING ids, so a multi-page prefill allocation lands on a
+        # physically contiguous ascending run — the decode attention
+        # kernel coalesces such runs into one DMA per fetch chunk
+        # (ops/paged_attention_pallas.py contig fast path). Opportunistic:
+        # after frees interleave the list, allocation order degrades and
+        # the kernel falls back to per-page fetches.
         self.free_list: List[BlockId] = list(
-            range(first_id, first_id + num_blocks))
+            range(first_id + num_blocks - 1, first_id - 1, -1))
         self.refcount: Dict[BlockId, int] = {}
 
     def get_num_free_blocks(self) -> int:

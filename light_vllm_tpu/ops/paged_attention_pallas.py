@@ -59,6 +59,9 @@ def _decode_kernel(
     block_tables_ref,  # [S, max_pages] SMEM
     seq_lens_ref,      # [S] SMEM
     layer_ref,         # [1] SMEM — layer slice of the stacked cache
+    contig_ref,        # [S, n_chunks] SMEM — first page id of chunk if the
+                       # whole ppf-page run is physically contiguous
+                       # ascending, else -1 (coalesced-DMA fast path)
     # inputs
     q_ref,             # [B, kvh, G_pad, d] VMEM
     sl_ref,            # [B, 1] i32 VMEM (vector copy of seq_lens)
@@ -123,25 +126,49 @@ def _decode_kernel(
             kv_buf.at[slot, b, p],
             sems.at[slot, b]), page_idx)
 
-    def start_fetch(chunk, slot):
+    # Coalesced fast path: when a chunk's ppf pages are one ascending
+    # physical run (the allocator hands prefill allocations out that way),
+    # ONE ppf-page DMA replaces ppf per-page DMAs + their scalar-core
+    # issue cost — the dominant term of the measured 0.93 ms/layer
+    # (73k descriptors/step at 8B shapes). Gated off under sliding window
+    # (per-seq start offsets break chunk/table alignment).
+    use_contig = pages_per_fetch > 1 and sliding_window is None
+
+    def contig_dma(b, chunk, slot):
+        first = contig_ref[inst * B + b, chunk]
+        return pltpu.make_async_copy(
+            kv_pages_hbm.at[layer_ref[0],
+                            pl.ds(jnp.maximum(first, 0), pages_per_fetch)],
+            kv_buf.at[slot, b],
+            sems.at[slot, b]), first
+
+    def _fetch(chunk, slot, run):
         for b in range(B):
+            if use_contig:
+                big, first = contig_dma(b, chunk, slot)
+
+                @pl.when(first >= 0)
+                def _():
+                    run(big)
+
             for p in range(pages_per_fetch):
                 c, page_idx = dma(b, chunk, slot, p)
+                cond = page_idx < num_pages_of(b)
+                if use_contig:
+                    first = contig_ref[inst * B + b, chunk]
+                    cond &= first < 0
 
-                @pl.when(page_idx < num_pages_of(b))
+                @pl.when(cond)
                 def _():
-                    c.start()
+                    run(c)
+
+    def start_fetch(chunk, slot):
+        _fetch(chunk, slot, lambda c: c.start())
 
     def wait_fetch(chunk, slot):
         # Waits mirror starts 1:1; the shared per-sequence semaphore counts
         # bytes, so order within a sequence is irrelevant.
-        for b in range(B):
-            for p in range(pages_per_fetch):
-                c, page_idx = dma(b, chunk, slot, p)
-
-                @pl.when(page_idx < num_pages_of(b))
-                def _():
-                    c.wait()
+        _fetch(chunk, slot, lambda c: c.wait())
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, NEG_INF)
@@ -314,8 +341,28 @@ def paged_attention_decode(
     sl_vmem = seq_lens.astype(jnp.int32).reshape(S_pad, 1)
     R = ppf * page_size
 
+    # Per-(seq, chunk) coalescing plan: first page id when the chunk's ppf
+    # pages are a full ascending physical run, else -1. Vectorized here so
+    # the kernel's scalar core does one SMEM load per chunk instead of ppf
+    # table walks.
+    n_chunks_max = max(1, cdiv(block_tables.shape[1], ppf))
+    if ppf > 1 and sliding_window is None:
+        btp = jnp.pad(block_tables,
+                      ((0, 0), (0, n_chunks_max * ppf -
+                                block_tables.shape[1])))
+        btc = btp.reshape(S_pad, n_chunks_max, ppf)
+        ascending = jnp.all(jnp.diff(btc, axis=-1) == 1, axis=-1)
+        num_pages_vec = (seq_lens.astype(jnp.int32) + page_size - 1) \
+            // page_size
+        chunk_end = (jnp.arange(n_chunks_max, dtype=jnp.int32) + 1) * ppf
+        full = chunk_end[None, :] <= num_pages_vec[:, None]
+        contig = jnp.where(ascending & full, btc[:, :, 0],
+                           -1).astype(jnp.int32)
+    else:
+        contig = jnp.full((S_pad, n_chunks_max), -1, jnp.int32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(S_pad // B,),
         in_specs=[
             pl.BlockSpec((B, kvh, G_pad, d_k), lambda i, *_: (i, 0, 0, 0),
@@ -351,7 +398,8 @@ def paged_attention_decode(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )
-    out = kernel(block_tables, seq_lens, layer_arr, q_grouped, sl_vmem, kv)
+    out = kernel(block_tables, seq_lens, layer_arr, contig, q_grouped,
+                 sl_vmem, kv)
     out = out.astype(in_dtype)  # kernel panel rides f32 (sublane 8)
     if packed:
         return out[:S, :, :G, 64:].reshape(S, h, d)

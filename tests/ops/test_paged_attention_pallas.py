@@ -248,3 +248,44 @@ def test_prefill_kernel_sliding_window_soft_cap(window, cap, rng):
     np.testing.assert_allclose(np.asarray(out)[mask],
                                np.asarray(ref)[mask],
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("layout", ["contig", "mixed"])
+def test_decode_kernel_coalesced_contig_fetch(layout, rng):
+    """The contiguous-run DMA fast path (one ppf-page copy per chunk)
+    must agree with the per-page fallback and the jnp reference: seqs
+    with ascending physical runs ride the coalesced branch, shuffled
+    ones the per-page branch, in the SAME kernel launch."""
+    h, kvh, d, page_size, ppf = 8, 2, 128, 16, 4
+    S = 6
+    max_pages = 12
+    num_blocks = 128
+    seq_lens = np.array([1, 40, 64, 100, 128, 190], dtype=np.int32)
+
+    q = rng.standard_normal((S, h, d), dtype=np.float32)
+    kv_pages = rng.standard_normal((num_blocks * page_size, 2 * kvh, d),
+                                   dtype=np.float32)
+    block_tables = np.zeros((S, max_pages), dtype=np.int32)
+    nxt = 1
+    for s in range(S):
+        n = -(-int(seq_lens[s]) // page_size)
+        ids = list(range(nxt, nxt + n))
+        nxt += n
+        if layout == "mixed" and s % 2:
+            ids = ids[::-1]  # descending: never coalesced
+        block_tables[s, :n] = ids
+
+    scale = d ** -0.5
+    ref = ragged_paged_attention_ref(
+        jnp.asarray(q), jnp.asarray(kv_pages),
+        jnp.asarray(block_tables), jnp.asarray(seq_lens),
+        jnp.asarray(np.arange(S, dtype=np.int32)),
+        jnp.asarray(seq_lens - 1), page_size, scale=scale)
+
+    out = paged_attention_decode(
+        jnp.asarray(q), jnp.asarray(kv_pages),
+        jnp.asarray(block_tables), jnp.asarray(seq_lens),
+        page_size=page_size, scale=scale, pages_per_fetch=ppf,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
