@@ -39,8 +39,12 @@ def run_case(S, kvh, h, d, page_size, ctx, L, dtype, n_timed=10):
     num_pages = S * num_pages_per_seq + 1
     num_slots = num_pages * page_size
     q = jnp.asarray(rng.standard_normal((S, h, d)), jnp.bfloat16)
-    kv = jnp.asarray(rng.standard_normal((L, num_slots, 2 * kvh, d)) * .25,
-                     dtype)
+    # KV generated ON DEVICE: the host-side float64 gaussian for a ~5 GB
+    # cache plus its tunnel transfer costs minutes per case.
+    kv = (jax.random.normal(jax.random.PRNGKey(0),
+                            (L, num_slots, 2 * kvh, d), jnp.bfloat16)
+          * 0.25).astype(dtype)
+    kv = jax.block_until_ready(kv)
     bt = np.zeros((S, 64), np.int32)
     nxt = 1
     for s in range(S):

@@ -39,8 +39,7 @@ class LRUEvictor:
     num-hashed-tokens tiebreak (reference: evictor_v1.py:53; ordered like
     evictor_v2's structures). O(log n) via a lazy-deletion heap: remove()
     just drops the table entry, evict() pops stale heap entries until a
-    live one surfaces — the same policy the C++ runtime's std::map evictor
-    implements (csrc/host_runtime.cpp:44)."""
+    live one surfaces."""
 
     def __init__(self) -> None:
         self.free_table: Dict[BlockId, Tuple[int, int]] = \
@@ -234,17 +233,16 @@ class PrefixCachingBlockAllocator(NaiveBlockAllocator):
 
 def make_block_allocator(num_blocks: int, first_id: int = 1,
                          prefix_caching: bool = False):
-    """Prefer the C++ host-runtime allocator (csrc/host_runtime.cpp); fall
-    back to the pure-Python implementations."""
-    try:
-        from light_vllm_tpu.native import (NativeBlockAllocator,
-                                           native_available)
+    """Pure-Python allocators.
 
-        if native_available():
-            return NativeBlockAllocator(num_blocks, first_id,
-                                        prefix_caching)
-    except Exception:  # toolchain missing — Python path is equivalent
-        pass
+    A C++ host-runtime allocator existed through r4 (parity-tested ctypes
+    bridge). It was DELETED in r5 on measurement
+    (benchmarks/bench_scheduler.py): allocator ops are ~7% of scheduler
+    step time (cProfile, 256 running seqs) and the per-op ctypes FFI
+    overhead made the native path 0.76-0.93x of Python across every
+    (N seqs, prefix-caching) cell — a net loss with no Amdahl headroom.
+    Less surface beats unproven speed; the code is in git history if a
+    batched-FFI design ever justifies revival."""
     cls = PrefixCachingBlockAllocator if prefix_caching \
         else NaiveBlockAllocator
     return cls(num_blocks, first_id=first_id)

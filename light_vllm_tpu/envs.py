@@ -25,9 +25,6 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # reference: light_vllm/envs.py VLLM_TRACE_FUNCTION).
     "LVT_TRACE_FUNCTION": lambda: bool(
         int(os.environ.get("LVT_TRACE_FUNCTION", "0"))),
-    # Use the C++ host runtime extension when built (block allocator etc.).
-    "LVT_USE_NATIVE_RUNTIME": lambda: bool(
-        int(os.environ.get("LVT_USE_NATIVE_RUNTIME", "1"))),
     # Token bucket padding policy: comma separated bucket sizes.
     "LVT_TOKEN_BUCKETS": lambda: os.environ.get("LVT_TOKEN_BUCKETS", None),
     # Static-shape mode: pad every decoding step to a FIXED (T, S) per step
