@@ -56,6 +56,31 @@ def _time_fn(fn, args, kv_index, n_warm=2, n_timed=8):
     return float(np.median(times)), kv
 
 
+def _time_fn_pipelined(fn, args, kv_index, depth=4, n_timed=4):
+    """Per-call DEVICE time with dispatch latency overlapped: time `depth`
+    back-to-back calls (kv threaded, sync once) vs one call; the slope is
+    pure device compute, the intercept the per-dispatch round trip — the
+    remote-relay tunnel adds tens of ms per synchronized dispatch, which
+    per-call timing (_time_fn) cannot separate from compute.
+    Returns (per_call_s, dispatch_s, kv)."""
+    params, kv, blob = args
+
+    def run(n):
+        nonlocal kv
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(params, kv, blob)
+            kv = out[kv_index]
+        jax.block_until_ready(kv)
+        return time.perf_counter() - t0
+
+    run(1)  # warm
+    t1 = min(run(1) for _ in range(n_timed))
+    td = min(run(depth) for _ in range(n_timed))
+    per_call = (td - t1) / (depth - 1)
+    return per_call, max(t1 - per_call, 0.0), kv
+
+
 def main():
     which = os.environ.get("LVT_PROFILE_MODEL", "8b")
     if which == "8b":
@@ -145,6 +170,53 @@ def main():
                          / V5E_BF16_PEAK, 3),
         tok_s_step=round(T / t_full, 1))
 
+    # (LVT_PROFILE_ABLATE=1) prefill ablation: attribute the prefill
+    # fwd's non-matmul tail (attention / kv write / norms+rope glue) —
+    # the 0.68-MFU gap has never been decomposed (VERDICT r4).
+    if int(os.environ.get("LVT_PROFILE_ABLATE", "0")):
+        import light_vllm_tpu.decoding.attention as attn_mod
+
+        t_fwd_dev, _, kv = _time_fn_pipelined(
+            fwd_fn, (runner.params, kv, blob), kv_index=1)
+        orig_call = attn_mod.Attention.__call__
+
+        def p_write_only(self, q, k, v, kv_cache, meta, layer_idx=None,
+                         scales=None):
+            Tq = q.shape[0]
+            kh = k.reshape(Tq, self.num_kv_heads, self.head_dim)
+            vh = v.reshape(Tq, self.num_kv_heads, self.head_dim)
+            k_s = v_s = None
+            if scales is not None:
+                k_s = scales["k_scale"].astype(jnp.float32)
+                v_s = scales["v_scale"].astype(jnp.float32)
+            kv_cache = self.backend.write_kv(kv_cache, kh, vh, meta,
+                                             layer_idx=layer_idx,
+                                             k_scale=k_s, v_scale=v_s)
+            return q, kv_cache
+
+        def p_identity(self, q, k, v, kv_cache, meta, layer_idx=None,
+                       scales=None):
+            return q, kv_cache
+
+        try:
+            attn_mod.Attention.__call__ = p_write_only
+            pf_wo = runner._make_step_fn(*key, profile_phase="fwd")
+            tp_wo, _, kv = _time_fn_pipelined(
+                pf_wo, (runner.params, kv, blob), kv_index=1)
+            attn_mod.Attention.__call__ = p_identity
+            pf_id = runner._make_step_fn(*key, profile_phase="fwd")
+            tp_id, _, kv = _time_fn_pipelined(
+                pf_id, (runner.params, kv, blob), kv_index=1)
+        finally:
+            attn_mod.Attention.__call__ = orig_call
+        results["prefill_ablation"] = dict(
+            fwd_full_ms=round(t_fwd_dev * 1e3, 2),
+            fwd_write_only_ms=round(tp_wo * 1e3, 2),
+            fwd_no_attn_ms=round(tp_id * 1e3, 2),
+            attn_read_ms=round((t_fwd_dev - tp_wo) * 1e3, 2),
+            kv_write_ms=round((tp_wo - tp_id) * 1e3, 2),
+            matmuls_plus_glue_ms=round(tp_id * 1e3, 2))
+
     # --- single decode step phases ---------------------------------------
     dec_singles = [r for r in records
                    if r["num_prefill_seqs"] == 0 and r["multi_step"] <= 1]
@@ -157,6 +229,25 @@ def main():
                 ds["NT"], ds["P"], ds["max_out"], ds["prompt_len"],
                 ds["ban_len"], ds["all_greedy"], ds["has_plp"],
                 ds["plp_k"], ds["lp_width"])
+        # (LVT_PROFILE_CONTIG_BT=1) rewrite the recorded block tables to
+        # ideal ascending per-seq page runs (timing-only A/B: the kernel
+        # reads the wrong pages but does identical work) — isolates what
+        # the decode kernel's coalesced-DMA fast path is worth when the
+        # allocator delivers perfect contiguity.
+        if int(os.environ.get("LVT_PROFILE_CONTIG_BT", "0")):
+            S_, P_, NT_ = ds["S"], ds["P"], ds["NT"]
+            off_bt = 4 * S_ + 8 * S_ + 6 * S_ + 2 * NT_
+            blob_np = ds["blob"].copy()
+            sl_np = blob_np[4 * S_:4 * S_ + S_]  # seq_i32[0] = seq_lens
+            bs = engine.engine_config.cache_config.block_size
+            bt = np.zeros((S_, P_), np.int32)
+            nxt = 1
+            for s in range(S_):
+                n = max(-(-int(sl_np[s]) // bs), 0)
+                bt[s, :n] = np.arange(nxt, nxt + n)
+                nxt += n
+            blob_np[off_bt:off_bt + S_ * P_] = bt.reshape(-1)
+            ds["blob"] = blob_np
         dsblob = jnp.asarray(ds["blob"])
         dfull = runner._step_cache.get(dkey) or runner._make_step_fn(*dkey)
         td_full, kv = _time_fn(dfull, (runner.params, kv, dsblob),
@@ -164,10 +255,14 @@ def main():
         dfwd = runner._make_step_fn(*dkey, profile_phase="fwd")
         td_fwd, kv = _time_fn(dfwd, (runner.params, kv, dsblob),
                               kv_index=1)
+        td_fwd_dev, td_disp, kv = _time_fn_pipelined(
+            dfwd, (runner.params, kv, dsblob), kv_index=1)
         dlg = runner._make_step_fn(*dkey, profile_phase="logits")
         td_lg, kv = _time_fn(dlg, (runner.params, kv, dsblob), kv_index=1)
         results["decode_single"] = dict(
             S=ds["S"],
+            fwd_dev_ms=round(td_fwd_dev * 1e3, 2),
+            dispatch_ms=round(td_disp * 1e3, 2),
             full_ms=round(td_full * 1e3, 3),
             fwd_ms=round(td_fwd * 1e3, 3),
             logits_ms=round((td_lg - td_fwd) * 1e3, 3),
@@ -206,12 +301,12 @@ def main():
         try:
             attn_mod.Attention.__call__ = write_only
             f_wo = runner._make_step_fn(*dkey, profile_phase="fwd")
-            t_wo, kv = _time_fn(f_wo, (runner.params, kv, dsblob),
-                                kv_index=1)
+            t_wo, _, kv = _time_fn_pipelined(
+                f_wo, (runner.params, kv, dsblob), kv_index=1)
             attn_mod.Attention.__call__ = identity
             f_id = runner._make_step_fn(*dkey, profile_phase="fwd")
-            t_id, kv = _time_fn(f_id, (runner.params, kv, dsblob),
-                                kv_index=1)
+            t_id, _, kv = _time_fn_pipelined(
+                f_id, (runner.params, kv, dsblob), kv_index=1)
             # (c) additionally zero out the stacked matmuls: what remains
             # is pure per-layer glue (norms, rope, residuals, reshapes,
             # scan machinery).
@@ -235,19 +330,20 @@ def main():
             smp.stacked_matmul = zm
             try:
                 f_glue = runner._make_step_fn(*dkey, profile_phase="fwd")
-                t_glue, kv = _time_fn(f_glue, (runner.params, kv, dsblob),
-                                      kv_index=1)
+                t_glue, _, kv = _time_fn_pipelined(
+                    f_glue, (runner.params, kv, dsblob), kv_index=1)
             finally:
                 smp.stacked_quantized_matmul = orig_q
                 smp.stacked_quantized_matmul_gated = orig_qg
                 smp.stacked_matmul = orig_m
         finally:
             attn_mod.Attention.__call__ = orig_call
+        # all device-time (pipelined): dispatch RTT excluded everywhere
         results["decode_ablation"] = dict(
-            fwd_full_ms=round(td_fwd * 1e3, 2),
+            fwd_full_ms=round(td_fwd_dev * 1e3, 2),
             fwd_write_only_ms=round(t_wo * 1e3, 2),
             fwd_no_attn_ms=round(t_id * 1e3, 2),
-            attn_read_ms=round((td_fwd - t_wo) * 1e3, 2),
+            attn_read_ms=round((td_fwd_dev - t_wo) * 1e3, 2),
             kv_write_ms=round((t_wo - t_id) * 1e3, 2),
             glue_only_ms=round(t_glue * 1e3, 2),
             matmuls_ms=round((t_id - t_glue) * 1e3, 2))
@@ -262,16 +358,108 @@ def main():
         if ms_fn is not None:
             dblob = jnp.asarray(d["blob"])
             t_ms, kv = _time_fn(ms_fn, (runner.params, kv, dblob), kv_index=1)
+            t_ms_dev, t_disp, kv = _time_fn_pipelined(
+                ms_fn, (runner.params, kv, dblob), kv_index=1)
             S = d["S"]
             # per-step weight-read roofline: the whole stack once per step
             t_w = param_bytes / V5E_HBM_BW
             results["decode"] = dict(
                 K=K, S=S, window_ms=round(t_ms * 1e3, 2),
+                window_dev_ms=round(t_ms_dev * 1e3, 2),
+                dispatch_ms=round(t_disp * 1e3, 2),
                 step_ms=round(t_ms / K * 1e3, 3),
+                step_dev_ms=round(t_ms_dev / K * 1e3, 3),
                 gen_tok_s=round(K * S / t_ms, 1),
                 weight_read_roofline_ms=round(t_w * 1e3, 3),
                 roofline_frac=round(t_w / (t_ms / K), 3),
                 mfu=round(2 * mp * S * K / t_ms / V5E_BF16_PEAK, 3))
+
+            # (LVT_PROFILE_MS_SWEEP=1) window time vs K: the slope is the
+            # true marginal per-iteration cost, the intercept the fixed
+            # per-window overhead — separates "multi-step machinery is
+            # slow per window" from "each chained iteration is slower
+            # than a single step".
+            if int(os.environ.get("LVT_PROFILE_MS_SWEEP", "0")):
+                sweep = {}
+                for k2 in (2, 4):
+                    fn2 = runner._make_multistep_fn(
+                        d["use_topkp"], d["S"], d["P"], k2,
+                        runner.page_size, d["NT"],
+                        d["max_out"], d["all_greedy"])
+                    t2, _, kv = _time_fn_pipelined(
+                        fn2, (runner.params, kv, dblob), kv_index=1)
+                    sweep[k2] = round(t2 * 1e3, 2)
+                sweep[K] = round(t_ms_dev * 1e3, 2)
+                ks = sorted(sweep)
+                slope = (sweep[ks[-1]] - sweep[ks[0]]) / (ks[-1] - ks[0])
+                results["decode"]["ms_sweep"] = dict(
+                    window_dev_ms_by_k=sweep,
+                    per_iter_ms=round(slope, 2),
+                    fixed_ms=round(sweep[ks[0]] - slope * ks[0], 2))
+
+            # (LVT_PROFILE_MS_ABLATE=1) decompose the window: rebuild the
+            # K-step executable with attention identity / write-only
+            # stubs — attributes the per-iteration gap vs a single step
+            # (chained iterations measured SLOWER per iter than single
+            # steps; find out which phase inflates inside the chain).
+            if int(os.environ.get("LVT_PROFILE_MS_ABLATE", "0")):
+                import light_vllm_tpu.decoding.attention as attn_mod
+
+                orig_call2 = attn_mod.Attention.__call__
+
+                def ms_write_only(self, q, k, v, kv_cache, meta,
+                                  layer_idx=None, scales=None):
+                    Tq = q.shape[0]
+                    kh = k.reshape(Tq, self.num_kv_heads, self.head_dim)
+                    vh = v.reshape(Tq, self.num_kv_heads, self.head_dim)
+                    k_s = v_s = None
+                    if scales is not None:
+                        k_s = scales["k_scale"].astype(jnp.float32)
+                        v_s = scales["v_scale"].astype(jnp.float32)
+                    kv_cache = self.backend.write_kv(
+                        kv_cache, kh, vh, meta, layer_idx=layer_idx,
+                        k_scale=k_s, v_scale=v_s)
+                    return q, kv_cache
+
+                def ms_identity(self, q, k, v, kv_cache, meta,
+                                layer_idx=None, scales=None):
+                    return q, kv_cache
+
+                abl = {}
+                try:
+                    for name, stub in (("write_only", ms_write_only),
+                                       ("no_attn", ms_identity)):
+                        attn_mod.Attention.__call__ = stub
+                        fn3 = runner._make_multistep_fn(
+                            d["use_topkp"], d["S"], d["P"], K,
+                            runner.page_size, d["NT"], d["max_out"],
+                            d["all_greedy"])
+                        t3, _, kv = _time_fn_pipelined(
+                            fn3, (runner.params, kv, dblob), kv_index=1)
+                        abl[name] = round(t3 * 1e3, 2)
+                finally:
+                    attn_mod.Attention.__call__ = orig_call2
+                # Full attention but with window-entry-frozen lengths:
+                # tests whether the carry->seq_lens scalar-prefetch chain
+                # is what inflates in-chain attention.
+                os.environ["LVT_MS_FREEZE_ATTN_LENS"] = "1"
+                try:
+                    fnf = runner._make_multistep_fn(
+                        d["use_topkp"], d["S"], d["P"], K,
+                        runner.page_size, d["NT"], d["max_out"],
+                        d["all_greedy"])
+                    tf, _, kv = _time_fn_pipelined(
+                        fnf, (runner.params, kv, dblob), kv_index=1)
+                    abl["frozen_lens"] = round(tf * 1e3, 2)
+                finally:
+                    os.environ.pop("LVT_MS_FREEZE_ATTN_LENS", None)
+                abl["full"] = round(t_ms_dev * 1e3, 2)
+                abl["attn_read_per_iter_ms"] = round(
+                    (t_ms_dev * 1e3 - abl["write_only"]) / K, 2)
+                abl["kv_write_per_iter_ms"] = round(
+                    (abl["write_only"] - abl["no_attn"]) / K, 2)
+                abl["rest_per_iter_ms"] = round(abl["no_attn"] / K, 2)
+                results["decode"]["ms_ablation"] = abl
 
     mfu_e2e_note = dict(
         matmul_params=mp,

@@ -79,15 +79,17 @@ class NaiveBlockAllocator:
 
     def __init__(self, num_blocks: int, first_id: int = 1) -> None:
         self.num_blocks = num_blocks
-        # Descending initial order: pop() from the tail then hands out
-        # ASCENDING ids, so a multi-page prefill allocation lands on a
-        # physically contiguous ascending run — the decode attention
-        # kernel coalesces such runs into one DMA per fetch chunk
-        # (ops/paged_attention_pallas.py contig fast path). Opportunistic:
-        # after frees interleave the list, allocation order degrades and
-        # the kernel falls back to per-page fetches.
+        # Min-heap: allocation always hands out the LOWEST free id, so a
+        # multi-page prefill allocation lands on a physically contiguous
+        # ascending run whenever the low end of the pool is free — the
+        # decode attention kernel coalesces such runs into one DMA per
+        # fetch chunk (ops/paged_attention_pallas.py contig fast path).
+        # Unlike a LIFO list (whose order scrambles permanently after the
+        # first free wave), the heap re-forms runs every time a region
+        # drains; under fragmentation the kernel just falls back to
+        # per-page fetches.
         self.free_list: List[BlockId] = list(
-            range(first_id + num_blocks - 1, first_id - 1, -1))
+            range(first_id, first_id + num_blocks))
         self.refcount: Dict[BlockId, int] = {}
 
     def get_num_free_blocks(self) -> int:
@@ -97,7 +99,7 @@ class NaiveBlockAllocator:
                  num_hashed_tokens: int = 0) -> BlockId:
         if not self.free_list:
             raise RuntimeError("out of KV blocks")
-        bid = self.free_list.pop()
+        bid = heapq.heappop(self.free_list)
         self.refcount[bid] = 1
         return bid
 
@@ -109,7 +111,7 @@ class NaiveBlockAllocator:
         rc = self.refcount[block_id] - 1
         if rc == 0:
             del self.refcount[block_id]
-            self.free_list.append(block_id)
+            heapq.heappush(self.free_list, block_id)
         else:
             self.refcount[block_id] = rc
 
@@ -162,7 +164,7 @@ class PrefixCachingBlockAllocator(NaiveBlockAllocator):
     def allocate(self, content_hash: Optional[int] = None,
                  num_hashed_tokens: int = 0) -> BlockId:
         if self.free_list:
-            bid = self.free_list.pop()
+            bid = heapq.heappop(self.free_list)
         elif self.evictor.num_blocks:
             bid = self.evictor.evict()
             old_hash = self.hash_of.pop(bid, None)
@@ -222,7 +224,7 @@ class PrefixCachingBlockAllocator(NaiveBlockAllocator):
             self.evictor.add(block_id, self._now(), self.num_hashed[block_id])
         else:
             self.computed.discard(block_id)
-            self.free_list.append(block_id)
+            heapq.heappush(self.free_list, block_id)
 
     _tick = 0
 

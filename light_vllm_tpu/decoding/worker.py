@@ -487,6 +487,15 @@ class DecodingModelRunner:
             seeds0 = jax.lax.bitcast_convert_type(seeds_i, jnp.uint32)
             rows = jnp.arange(S, dtype=jnp.int32)
 
+            # Debug/profile knob (trace-time): freeze the attention
+            # metadata at the window-entry lengths, breaking the
+            # carry->seq_lens->scalar-prefetch dependency for the
+            # attention kernel only (reads up to K-1 stale tokens; NOT
+            # for serving — used to attribute the measured in-chain
+            # attention slowdown, benchmarks/profile_8b.py).
+            freeze_lens = bool(int(os.environ.get(
+                "LVT_MS_FREEZE_ATTN_LENS", "0")))
+
             def body(carry, t):
                 kv_caches, tokens, positions, seq_lens = carry
                 page_idx = positions // page_size
@@ -499,7 +508,9 @@ class DecodingModelRunner:
                                          slot_mapping, 0)
                 meta = DecodeAttnMetadata(
                     slot_mapping=slot_mapping, block_tables=block_tables,
-                    seq_lens=seq_lens, seq_ids=rows, positions=positions,
+                    seq_lens=seq_lens0 if freeze_lens else seq_lens,
+                    seq_ids=rows,
+                    positions=positions0 if freeze_lens else positions,
                     num_decode_tokens=S, decode_region=S,
                     num_prefill_seqs=0,
                     # traced write plan: every row is a single-token DMA
