@@ -425,9 +425,31 @@ def main():
                                 layer_idx=None, scales=None):
                     return q, kv_cache
 
+                def ms_read_only(self, q, k, v, kv_cache, meta,
+                                 layer_idx=None, scales=None):
+                    # attention WITHOUT the page write: if the window
+                    # speeds up, the in-place write->read hazard on the
+                    # aliased cache is what stalls the chained kernels.
+                    T = q.shape[0]
+                    qh = q.reshape(T, self.num_heads, self.head_dim)
+                    if scales is not None:
+                        k_s = scales["k_scale"].astype(jnp.float32)
+                        qh = (qh.astype(jnp.float32) * k_s).astype(q.dtype)
+                    out = self.backend.attention(
+                        qh, kv_cache, meta, scale=self.scale,
+                        sliding_window=self.sliding_window,
+                        logits_soft_cap=self.logits_soft_cap,
+                        layer_idx=layer_idx)
+                    if scales is not None:
+                        out = (out.astype(jnp.float32)
+                               * scales["v_scale"].astype(jnp.float32)
+                               ).astype(q.dtype)
+                    return out.reshape(T, -1), kv_cache
+
                 abl = {}
                 try:
-                    for name, stub in (("write_only", ms_write_only),
+                    for name, stub in (("read_only", ms_read_only),
+                                       ("write_only", ms_write_only),
                                        ("no_attn", ms_identity)):
                         attn_mod.Attention.__call__ = stub
                         fn3 = runner._make_multistep_fn(
@@ -439,20 +461,12 @@ def main():
                         abl[name] = round(t3 * 1e3, 2)
                 finally:
                     attn_mod.Attention.__call__ = orig_call2
-                # Full attention but with window-entry-frozen lengths:
-                # tests whether the carry->seq_lens scalar-prefetch chain
-                # is what inflates in-chain attention.
-                os.environ["LVT_MS_FREEZE_ATTN_LENS"] = "1"
-                try:
-                    fnf = runner._make_multistep_fn(
-                        d["use_topkp"], d["S"], d["P"], K,
-                        runner.page_size, d["NT"], d["max_out"],
-                        d["all_greedy"])
-                    tf, _, kv = _time_fn_pipelined(
-                        fnf, (runner.params, kv, dblob), kv_index=1)
-                    abl["frozen_lens"] = round(tf * 1e3, 2)
-                finally:
-                    os.environ.pop("LVT_MS_FREEZE_ATTN_LENS", None)
+                # (history: an LVT_MS_FREEZE_ATTN_LENS variant measured
+                # 431 vs 781 ms here, identifying the carried
+                # seq_lens->scalar-prefetch chain as the in-chain
+                # attention inflation; the ms body now derives
+                # positions/seq_lens as window-entry + static t, making
+                # the fix exact rather than approximate.)
                 abl["full"] = round(t_ms_dev * 1e3, 2)
                 abl["attn_read_per_iter_ms"] = round(
                     (t_ms_dev * 1e3 - abl["write_only"]) / K, 2)
@@ -460,6 +474,23 @@ def main():
                     (abl["write_only"] - abl["no_attn"]) / K, 2)
                 abl["rest_per_iter_ms"] = round(abl["no_attn"] / K, 2)
                 results["decode"]["ms_ablation"] = abl
+
+            # (LVT_PROFILE_MS_LENS=frozen|clamped) time a single lens-mode
+            # variant of the K-step window (see worker LVT_MS_LENS_MODE).
+            mode = os.environ.get("LVT_PROFILE_MS_LENS")
+            if mode:
+                os.environ["LVT_MS_LENS_MODE"] = mode
+                try:
+                    fnm = runner._make_multistep_fn(
+                        d["use_topkp"], d["S"], d["P"], K,
+                        runner.page_size, d["NT"], d["max_out"],
+                        d["all_greedy"])
+                    tm, _, kv = _time_fn_pipelined(
+                        fnm, (runner.params, kv, dblob), kv_index=1)
+                    results["decode"][f"lens_{mode}_window_dev_ms"] = \
+                        round(tm * 1e3, 2)
+                finally:
+                    os.environ.pop("LVT_MS_LENS_MODE", None)
 
     mfu_e2e_note = dict(
         matmul_params=mp,

@@ -487,17 +487,24 @@ class DecodingModelRunner:
             seeds0 = jax.lax.bitcast_convert_type(seeds_i, jnp.uint32)
             rows = jnp.arange(S, dtype=jnp.int32)
 
-            # Debug/profile knob (trace-time): freeze the attention
-            # metadata at the window-entry lengths, breaking the
-            # carry->seq_lens->scalar-prefetch dependency for the
-            # attention kernel only (reads up to K-1 stale tokens; NOT
-            # for serving — used to attribute the measured in-chain
-            # attention slowdown, benchmarks/profile_8b.py).
-            freeze_lens = bool(int(os.environ.get(
-                "LVT_MS_FREEZE_ATTN_LENS", "0")))
+            # Experiment knob (trace-time; benchmarks/profile_8b.py):
+            # "exact" (default) | "frozen" (window-entry lens, stale) |
+            # "clamped" (frozen VALUES via per-iteration expressions) —
+            # separates value-effects from expression/scheduling effects
+            # in the measured in-chain attention slowdown.
+            lens_mode = os.environ.get("LVT_MS_LENS_MODE", "exact")
 
             def body(carry, t):
-                kv_caches, tokens, positions, seq_lens = carry
+                # t is a STATIC python int: positions/seq_lens advance as
+                # window-entry value + t, never as a carried +1 chain.
+                kv_caches, tokens = carry
+                positions = positions0 + t
+                if lens_mode == "frozen":
+                    seq_lens = seq_lens0
+                elif lens_mode == "clamped":
+                    seq_lens = jnp.minimum(seq_lens0 + t, seq_lens0)
+                else:
+                    seq_lens = seq_lens0 + t
                 page_idx = positions // page_size
                 slot_mapping = block_tables[rows,
                                             jnp.minimum(page_idx, P - 1)] \
@@ -508,9 +515,7 @@ class DecodingModelRunner:
                                          slot_mapping, 0)
                 meta = DecodeAttnMetadata(
                     slot_mapping=slot_mapping, block_tables=block_tables,
-                    seq_lens=seq_lens0 if freeze_lens else seq_lens,
-                    seq_ids=rows,
-                    positions=positions0 if freeze_lens else positions,
+                    seq_lens=seq_lens, seq_ids=rows, positions=positions,
                     num_decode_tokens=S, decode_region=S,
                     num_prefill_seqs=0,
                     # traced write plan: every row is a single-token DMA
@@ -523,23 +528,23 @@ class DecodingModelRunner:
                 res = sampling_ops.sample(
                     logits, temperature, top_k, top_p, min_p, presence,
                     frequency, repetition, output_tokens, None,
-                    seeds0 + jnp.uint32(0x9E3779B9) * t.astype(jnp.uint32),
+                    seeds0 + jnp.uint32(0x9E3779B9) * jnp.uint32(t),
                     use_penalties=False, use_topkp=use_topkp,
                     num_logprobs=0, all_greedy=all_greedy)
                 out_t = jnp.stack([
                     res.next_tokens,
                     jax.lax.bitcast_convert_type(res.chosen_logprobs,
                                                  jnp.int32)])
-                return (kv_caches, res.next_tokens, positions + 1,
-                        seq_lens + 1), out_t
+                return (kv_caches, res.next_tokens), out_t
 
             # Unrolled rather than lax.scan: the scan carry ping-pongs the
             # multi-GB KV buffers (2x HBM), while straight-line dataflow
-            # lets XLA alias every page write in place.
-            carry = (kv_caches, input_ids0, positions0, seq_lens0)
+            # lets XLA alias every page write in place — and the static
+            # per-iteration t keeps positions/seq_lens off the carry.
+            carry = (kv_caches, input_ids0)
             outs = []
             for t in range(num_steps):
-                carry, out_t = body(carry, jnp.int32(t))
+                carry, out_t = body(carry, t)
                 outs.append(out_t)
             kv_caches = carry[0]
             ring = jnp.stack(outs)

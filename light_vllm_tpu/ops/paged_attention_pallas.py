@@ -13,21 +13,21 @@ One query token per sequence (decode steady state). Layout:
     block_tables [S, max_pages] (scalar-prefetched)
     seq_lens [S]                  (scalar-prefetched + a [S,1] VMEM copy)
 
-Grid: (S / SEQ_BLOCK,). Measured on real v5e hardware, batch decode
-attention is bound by per-op dispatch overhead, not DMA bandwidth: the
-useful FLOPs are ~1µs/layer and the KV read ~45µs, yet naive designs
-(per-page fetch loops with per-sequence online softmax — both this
-kernel's v1 and XLA's gather+batched-dot lowering) cost 1-3 ms/layer
-because they issue thousands of tiny vector/scalar ops. This kernel
-therefore:
+Grid: (S / SEQ_BLOCK,). Design (re-measured r5 on v5e, see the
+TARGET_CHUNK_TOKENS note for the numbers):
 
-  - fetches KV in large per-sequence chunks (R = pages_per_fetch *
-    page_size tokens, targeting ~512) with double buffering, all pages of
-    a sequence sharing ONE DMA semaphore (bounded sflag usage),
+  - fetches KV in per-sequence chunks of R = pages_per_fetch * page_size
+    tokens with double buffering, all pages of a sequence sharing ONE
+    DMA semaphore (bounded sflag usage); physically-contiguous ascending
+    page runs coalesce into a single multi-page DMA,
   - runs the per-(seq, kv-head) score and PV matmuls as static-addressed
     MXU dots into a shared VMEM scores scratch,
   - performs masking and the online-softmax update ONCE per chunk,
     batched over the whole [B, kvh, G, R] block, instead of per sequence.
+
+The dominant cost is the per-chunk panel sweep (paid in full for partial
+chunks), so the chunk defaults to ONE PAGE: total panel columns then
+track the true context length instead of rounding up to a large R.
 
 GQA groups are static loops over kv heads.
 """
@@ -45,12 +45,24 @@ from light_vllm_tpu.utils import cdiv
 NEG_INF = -1e30
 
 SEQ_BLOCK = 8             # sequences per kernel instance (adaptive, see below)
-TARGET_CHUNK_TOKENS = 512  # per-sequence KV tokens fetched per chunk
-# Double-buffered chunk scratch budget. Measured (8B shapes, S=256): the
-# kernel's cost scales with the PADDED [B, kvh, G_pad, R] panel the
-# batched mask/online-softmax sweeps, so growing B or R past the real
-# work (B=16/R=512 vs 8/256) LOWERED the 8B leg 6.1k -> 5.4k tok/s —
-# keep panels tight rather than fetch-rounds few.
+# Per-sequence KV tokens fetched per chunk. ONE PAGE per chunk (r5,
+# measured on v5e at 8B decode shapes, S=256, ctx~260-288, page 32):
+# the kernel's cost is the per-chunk [B, kvh, G_pad, R] panel sweep
+# (score/PV dots + batched online softmax), paid IN FULL for a chunk no
+# matter how few of its pages are valid — so a context of 9 pages at
+# R=256 processes 512 panel columns for 288 tokens of work. Shrinking
+# the chunk to one page processes only ceil(ctx/page) panels:
+#     R=256: 97.7 ms/8-step window (gen 2530 tok/s)
+#     R=128: 60.2 ms  (4037 tok/s)
+#     R= 64: 49.5 ms  (4877 tok/s)
+#     R= 32: 44.3 ms  (5367 tok/s)   <- default
+# r4 had concluded the opposite ("DMA-dispatch-bound, fetch ~512-token
+# chunks") from per-dispatch timings that turned out to be dominated by
+# the remote relay's ~27 ms RTT (see benchmarks/profile_8b.py pipelined
+# timing). Override per call with pages_per_fetch or env LVT_PA_PPF.
+TARGET_CHUNK_TOKENS = 32
+# Double-buffered chunk scratch budget; B capped at 8 (B=16 measured
+# slower: the panel sweep scales with B too).
 KV_BUF_BUDGET = 8 * 1024 * 1024
 
 
@@ -258,11 +270,11 @@ def _pick_block_params(S, page_size, rows, d_k, itemsize):
     hit this with big per-seq chunks, so shrink the chunk first."""
     ppf = max(1, TARGET_CHUNK_TOKENS // page_size)
     per_seq = 2 * ppf * page_size * rows * d_k * itemsize
-    B = max(1, min(16, KV_BUF_BUDGET // per_seq, S))
+    B = max(1, min(8, KV_BUF_BUDGET // per_seq, S))
     while B < min(8, S) and ppf > 1:
         ppf //= 2
         per_seq //= 2
-        B = max(1, min(16, KV_BUF_BUDGET // per_seq, S))
+        B = max(1, min(8, KV_BUF_BUDGET // per_seq, S))
     return B, ppf
 
 
@@ -307,6 +319,10 @@ def paged_attention_decode(
                                 jnp.dtype(kv_pages.dtype).itemsize)
     if pages_per_fetch:
         ppf = pages_per_fetch
+    import os as _os
+    _ppf_env = _os.environ.get("LVT_PA_PPF")  # perf-tuning override
+    if _ppf_env:
+        ppf = int(_ppf_env)
     # Pad the GQA group up to the sublane tile so q blocks are tileable;
     # padded rows cost nothing (decode attention is overhead-bound).
     # q rides in f32 so the G axis tiles at sublane 8 instead of bf16's
