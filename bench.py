@@ -295,13 +295,14 @@ def run_arrivals_case(llm, prompts, rate, output_len, tag):
 
 def run_arrivals_leg(num_prompts=256, input_len=256, output_len=16):
     """Serving-latency leg: Poisson arrivals at ~0.8x the measured closed-
-    loop max (132 req/s on this chip, BENCH_r04), chunked prefill OFF vs
-    ON, plus a shared-prefix workload with prefix caching ON — the first
-    hardware numbers for both policies (VERDICT r4 #3)."""
+    loop max, chunked prefill OFF vs ON, plus a shared-prefix workload
+    with prefix caching ON — the first hardware numbers for both policies
+    (VERDICT r4 #3)."""
     from light_vllm_tpu import LLM
     from light_vllm_tpu.decoding.sampling_params import SamplingParams
 
-    rate = float(os.environ.get("LVT_BENCH_ARRIVAL_RATE", "105"))
+    # ~0.8x the measured closed-loop max (146.8 req/s, r5 qwen2 leg)
+    rate = float(os.environ.get("LVT_BENCH_ARRIVAL_RATE", "117"))
     cfg = qwen2_1_5b_config()
     rng = np.random.default_rng(0)
     vocab = cfg["vocab_size"]
