@@ -40,11 +40,14 @@ def run_case(S, kvh, h, d, page_size, ctx, L, dtype, n_timed=10):
     num_slots = num_pages * page_size
     q = jnp.asarray(rng.standard_normal((S, h, d)), jnp.bfloat16)
     # KV generated ON DEVICE: the host-side float64 gaussian for a ~5 GB
-    # cache plus its tunnel transfer costs minutes per case.
-    kv = (jax.random.normal(jax.random.PRNGKey(0),
-                            (L, num_slots, 2 * kvh, d), jnp.bfloat16)
-          * 0.25).astype(dtype)
-    kv = jax.block_until_ready(kv)
+    # cache plus its tunnel transfer costs minutes per case. One layer is
+    # generated and tiled so the bf16 intermediate never exceeds 1/L of
+    # the cache (the full-size bf16 temp OOMed the 2048-ctx case).
+    layer0 = (jax.random.normal(jax.random.PRNGKey(0),
+                                (1, num_slots, 2 * kvh, d), jnp.bfloat16)
+              * 0.25).astype(dtype)
+    kv = jax.block_until_ready(jnp.tile(layer0, (L, 1, 1, 1)))
+    del layer0
     bt = np.zeros((S, 64), np.int32)
     nxt = 1
     for s in range(S):
@@ -55,23 +58,28 @@ def run_case(S, kvh, h, d, page_size, ctx, L, dtype, n_timed=10):
     sl = jnp.full((S,), ctx, jnp.int32)
     scale = d ** -0.5
 
+    # REP kernel calls chained INSIDE one executable (each call's q is
+    # the previous call's output, so nothing can be elided or
+    # overlapped away), timed across the whole dispatch: per-dispatch
+    # timing on the remote relay reports async-enqueue time, not device
+    # time (observed "0.1 ms" for multi-GB reads).
+    REP = max(n_timed, 4)
+
     @jax.jit
     def step(q, kv, bt, sl):
-        out = q
-        for li in range(L):
-            out = paged_attention_decode(
-                out, kv, bt, sl, page_size=page_size, scale=scale,
-                layer_idx=jnp.int32(li))
-        return out
+        def body(i, out):
+            for li in range(L):
+                out = paged_attention_decode(
+                    out, kv, bt, sl, page_size=page_size, scale=scale,
+                    layer_idx=jnp.int32(li))
+            return out
+        out = jax.lax.fori_loop(0, REP, body, q)
+        return jnp.sum(out.astype(jnp.float32))
 
-    out = step(q, kv, bt, sl)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(n_timed):
-        t0 = time.perf_counter()
-        jax.block_until_ready(step(q, kv, bt, sl))
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
+    float(step(q, kv, bt, sl))  # warm (forces full d2h sync)
+    t0 = time.perf_counter()
+    float(step(q, kv, bt, sl))
+    med = (time.perf_counter() - t0) / REP
     kv_bytes = S * ctx * 2 * kvh * d * jnp.dtype(dtype).itemsize * L
     dmas = S * num_pages_per_seq * L
     print(f"S={S} page={page_size:3d} ctx={ctx:4d} L={L} {str(dtype):>18}: "
