@@ -422,11 +422,17 @@ def run_leg_isolated(leg, num_prompts, retries=2):
         t0 = time.perf_counter()
         try:
             # stderr inherits (live progress); only stdout (the sentinel
-            # line) is captured.
+            # line) is captured. Final attempt skips the d2h probe: the
+            # probe itself is the thing that wedges in some relay phases
+            # (observed 4 consecutive probe wedges while probe-less runs
+            # of the same leg succeeded immediately); best-of-two repeats
+            # still protect the measurement if the wedge moves in-leg.
+            cmd = [sys.executable, os.path.abspath(__file__), "--leg",
+                   leg, str(num_prompts)]
+            if attempt == retries:
+                cmd.append("--no-probe")
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--leg", leg,
-                 str(num_prompts)],
-                stdout=subprocess.PIPE, text=True, timeout=timeout)
+                cmd, stdout=subprocess.PIPE, text=True, timeout=timeout)
         except subprocess.TimeoutExpired:
             last_err = f"leg {leg!r} timed out after {timeout}s"
             sys.stderr.write(f"# {last_err} (attempt {attempt + 1})\n")
@@ -448,6 +454,8 @@ def main():
     leg = None
     if argv[:1] == ["--leg"]:
         leg, argv = argv[1], argv[2:]
+    no_probe = "--no-probe" in argv
+    argv = [a for a in argv if a != "--no-probe"]
     num_prompts = int(argv[0]) if argv else 256
 
     if leg is not None:  # child mode: one leg, one sentinel line
@@ -458,23 +466,27 @@ def main():
         # first scalar fetch, warmup's first token readback). The wedge
         # can hit the probe itself — a watchdog hard-exits rc=3 so the
         # parent retries on a fresh claim in minutes, not the leg timeout.
-        import threading
+        if not no_probe:
+            import threading
 
-        t0 = time.perf_counter()
-        probe_watchdog = threading.Timer(180.0, lambda: (
-            sys.stderr.write("# d2h probe wedged >180s; exiting for "
-                             "parent retry\n"), sys.stderr.flush(),
-            os._exit(3)))
-        probe_watchdog.daemon = True
-        probe_watchdog.start()
-        import jax.numpy as jnp  # noqa: PLC0415
+            t0 = time.perf_counter()
+            probe_watchdog = threading.Timer(180.0, lambda: (
+                sys.stderr.write("# d2h probe wedged >180s; exiting for "
+                                 "parent retry\n"), sys.stderr.flush(),
+                os._exit(3)))
+            probe_watchdog.daemon = True
+            probe_watchdog.start()
+            import jax.numpy as jnp  # noqa: PLC0415
 
-        float(jnp.zeros((), jnp.float32))
-        jnp.zeros((1 << 20,), jnp.float32).block_until_ready()
-        np.asarray(jnp.ones((1 << 18,), jnp.float32)).sum()
-        probe_watchdog.cancel()
-        sys.stderr.write(f"# d2h stream probe "
-                         f"{time.perf_counter() - t0:.1f}s\n")
+            float(jnp.zeros((), jnp.float32))
+            jnp.zeros((1 << 20,), jnp.float32).block_until_ready()
+            np.asarray(jnp.ones((1 << 18,), jnp.float32)).sum()
+            probe_watchdog.cancel()
+            sys.stderr.write(f"# d2h stream probe "
+                             f"{time.perf_counter() - t0:.1f}s\n")
+        else:
+            sys.stderr.write("# probe skipped (--no-probe final "
+                             "attempt)\n")
         print(_LEG_SENTINEL + json.dumps(run_leg(leg, num_prompts)),
               flush=True)
         return
