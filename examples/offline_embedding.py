@@ -15,6 +15,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+# Honor LVT_PLATFORM=cpu even on hosts whose sitecustomize force-selects
+# a TPU jax backend (env JAX_PLATFORMS alone is overridden there); must
+# run after importing jax, before any backend touch.
+if os.environ.get("LVT_PLATFORM") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 import numpy as np
 
 from light_vllm_tpu import LLM

@@ -19,6 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+# Honor LVT_PLATFORM=cpu even on hosts whose sitecustomize force-selects
+# a TPU jax backend (env JAX_PLATFORMS alone is overridden there); must
+# run after importing jax, before any backend touch.
+if os.environ.get("LVT_PLATFORM") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 from light_vllm_tpu import LLM, SamplingParams
 
 
@@ -28,13 +37,21 @@ def main():
     ap.add_argument("--max-tokens", type=int, default=32)
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--quantization", default=None)
+    ap.add_argument("--dtype", default=None,
+                    help="defaults to bfloat16 on TPU, float32 elsewhere "
+                         "(CPU has no fast bf16 path)")
     args = ap.parse_args()
+    if args.dtype is None:
+        from light_vllm_tpu.platforms import current_platform
+        args.dtype = "bfloat16" if current_platform().is_tpu \
+            else "float32"
 
     sampling = SamplingParams(temperature=args.temperature,
                               max_tokens=args.max_tokens)
 
     if args.model:
-        llm = LLM(model=args.model, quantization=args.quantization)
+        llm = LLM(model=args.model, quantization=args.quantization,
+                  dtype=args.dtype)
         prompts = [
             "Hello, my name is",
             "The capital of France is",
@@ -48,7 +65,8 @@ def main():
                    rms_norm_eps=1e-6, rope_theta=10000.0, hidden_act="silu",
                    tie_word_embeddings=False)
         llm = LLM(hf_config=cfg, load_format="dummy",
-                  quantization=args.quantization, max_model_len=256)
+                  quantization=args.quantization, max_model_len=256,
+                  dtype=args.dtype)
         prompts = [{"prompt_token_ids": list(range(5, 25))},
                    {"prompt_token_ids": list(range(100, 140))}]
         sampling.detokenize = False
